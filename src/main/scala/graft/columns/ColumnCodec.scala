@@ -1,0 +1,435 @@
+package graft.columns
+
+import graft.core._
+import java.nio.charset.StandardCharsets
+
+/** Stream kinds, matching the reference's per-column stream model
+  * (/root/reference/src/ApacheOrcDotNet/Protocol/Stream.cs:10-21).
+  */
+object Streams {
+  final val Present = "PRESENT"
+  final val Data = "DATA"
+  final val Length = "LENGTH"
+  final val DictionaryData = "DICTIONARY_DATA"
+  final val Secondary = "SECONDARY"
+  final val SymbolTable = "SYMBOL_TABLE" // FSST addition (not in reference)
+}
+
+/** Codec identifiers recorded in chunk lineage. */
+object Codecs {
+  final val LongRleV2 = "LONG_RLEV2"
+  final val StringDirect = "STRING_DIRECT"
+  final val StringDictV2 = "STRING_DICT"
+  final val StringFsst = "STRING_FSST"
+  final val Binary = "BINARY"
+  final val TimestampFor = "TIMESTAMP_FOR"
+  final val Date = "DATE"
+  final val Bool = "BOOL"
+  final val ByteRleC = "BYTE_RLE"
+  final val DoubleRaw = "DOUBLE_RAW"
+  final val FloatRaw = "FLOAT_RAW"
+  final val Decimal18 = "DECIMAL18"
+}
+
+/** One encoded column chunk: named byte streams + row/null counts.
+  * PRESENT is omitted when the chunk has no nulls (the reference's
+  * MustBeIncluded=false behavior, LongWriter.cs:28,78-79).
+  */
+final case class ColumnStreams(codec: String, rowCount: Int, nullCount: Int,
+                               streams: Map[String, Array[Byte]]) {
+  def totalBytes: Long = streams.valuesIterator.map(_.length.toLong).sum
+}
+
+/** Column-level encoders/decoders: split nulls into PRESENT, encode
+  * non-null values into DATA(+LENGTH/SECONDARY/DICTIONARY_DATA). The
+  * per-type stream assembly mirrors /root/reference/src/ApacheOrcDotNet/
+  * ColumnTypes/{Long,Byte,Boolean,Double,Float,Binary,String,Timestamp,
+  * Date,Decimal}Writer.cs; the FSST string path is a north-rule addition.
+  */
+object ColumnCodec {
+
+  // ---------- helpers ----------
+
+  private def presentStream(present: Array[Boolean]): Array[Byte] = {
+    val out = new ByteBuf(present.length / 8 + 8)
+    BitCodec.write(out, present)
+    out.toArray
+  }
+
+  private def withPresent(base: Map[String, Array[Byte]], present: Array[Boolean],
+                          nullCount: Int): Map[String, Array[Byte]] =
+    if (nullCount == 0) base else base + (Streams.Present -> presentStream(present))
+
+  private def readPresent(cs: ColumnStreams): Array[Boolean] =
+    cs.streams.get(Streams.Present) match {
+      case Some(bytes) => BitCodec.read(new BytesIn(bytes), cs.rowCount)
+      case None        => Array.fill(cs.rowCount)(true)
+    }
+
+  @inline private def countNulls(present: Array[Boolean]): Int = {
+    var n = 0
+    var i = 0
+    while (i < present.length) { if (!present(i)) n += 1; i += 1 }
+    n
+  }
+
+  // ---------- LONG (all integer widths funnel here) ----------
+
+  def encodeLong(values: Array[Long], present: Array[Boolean], aligned: Boolean = false): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val data = new ByteBuf(values.length)
+    RleV2Writer.write(data, values, signed = true, aligned = aligned)
+    ColumnStreams(Codecs.LongRleV2, present.length, nullCount,
+      withPresent(Map(Streams.Data -> data.toArray), present, nullCount))
+  }
+
+  /** Returns (values for non-null rows in row order, present bitmap). */
+  def decodeLong(cs: ColumnStreams): (Array[Long], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val values = RleV2Reader.read(new BytesIn(cs.streams(Streams.Data)), signed = true,
+      cs.rowCount - cs.nullCount)
+    (values, present)
+  }
+
+  // ---------- BOOLEAN ----------
+
+  def encodeBool(values: Array[Boolean], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val data = new ByteBuf(values.length / 8 + 8)
+    BitCodec.write(data, values)
+    ColumnStreams(Codecs.Bool, present.length, nullCount,
+      withPresent(Map(Streams.Data -> data.toArray), present, nullCount))
+  }
+
+  def decodeBool(cs: ColumnStreams): (Array[Boolean], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val values = BitCodec.read(new BytesIn(cs.streams(Streams.Data)), cs.rowCount - cs.nullCount)
+    (values, present)
+  }
+
+  // ---------- BYTE ----------
+
+  def encodeByte(values: Array[Byte], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val data = new ByteBuf(values.length)
+    ByteRle.write(data, values)
+    ColumnStreams(Codecs.ByteRleC, present.length, nullCount,
+      withPresent(Map(Streams.Data -> data.toArray), present, nullCount))
+  }
+
+  def decodeByte(cs: ColumnStreams): (Array[Byte], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val values = ByteRle.readAll(new BytesIn(cs.streams(Streams.Data)))
+    require(values.length == cs.rowCount - cs.nullCount, "BYTE stream length mismatch")
+    (values, present)
+  }
+
+  // ---------- DOUBLE / FLOAT (raw IEEE754 LE) ----------
+
+  def encodeDouble(values: Array[Double], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val bb = java.nio.ByteBuffer.allocate(values.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(bb.putDouble)
+    ColumnStreams(Codecs.DoubleRaw, present.length, nullCount,
+      withPresent(Map(Streams.Data -> bb.array()), present, nullCount))
+  }
+
+  def decodeDouble(cs: ColumnStreams): (Array[Double], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val bytes = cs.streams(Streams.Data)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val values = new Array[Double](cs.rowCount - cs.nullCount)
+    var i = 0
+    while (i < values.length) { values(i) = bb.getDouble(); i += 1 }
+    (values, present)
+  }
+
+  def encodeFloat(values: Array[Float], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val bb = java.nio.ByteBuffer.allocate(values.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(bb.putFloat)
+    ColumnStreams(Codecs.FloatRaw, present.length, nullCount,
+      withPresent(Map(Streams.Data -> bb.array()), present, nullCount))
+  }
+
+  def decodeFloat(cs: ColumnStreams): (Array[Float], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val bb = java.nio.ByteBuffer.wrap(cs.streams(Streams.Data)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val values = new Array[Float](cs.rowCount - cs.nullCount)
+    var i = 0
+    while (i < values.length) { values(i) = bb.getFloat(); i += 1 }
+    (values, present)
+  }
+
+  // ---------- BINARY ----------
+
+  def encodeBinary(values: Array[Array[Byte]], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val data = new ByteBuf(1024)
+    val lengths = new Array[Long](values.length)
+    var i = 0
+    while (i < values.length) {
+      data.writeBytes(values(i))
+      lengths(i) = values(i).length
+      i += 1
+    }
+    val lengthBuf = new ByteBuf(values.length)
+    RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = false)
+    ColumnStreams(Codecs.Binary, present.length, nullCount,
+      withPresent(Map(Streams.Data -> data.toArray, Streams.Length -> lengthBuf.toArray), present, nullCount))
+  }
+
+  def decodeBinary(cs: ColumnStreams): (Array[Array[Byte]], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val n = cs.rowCount - cs.nullCount
+    val lengths = RleV2Reader.read(new BytesIn(cs.streams(Streams.Length)), signed = false, n)
+    val data = cs.streams(Streams.Data)
+    val values = new Array[Array[Byte]](n)
+    var off = 0
+    var i = 0
+    while (i < n) {
+      val len = lengths(i).toInt
+      values(i) = java.util.Arrays.copyOfRange(data, off, off + len)
+      off += len
+      i += 1
+    }
+    (values, present)
+  }
+
+  // ---------- STRING: direct ----------
+
+  def encodeStringDirect(values: Array[String], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val data = new ByteBuf(1024)
+    val lengths = new Array[Long](values.length)
+    var i = 0
+    while (i < values.length) {
+      val bytes = values(i).getBytes(StandardCharsets.UTF_8)
+      data.writeBytes(bytes)
+      lengths(i) = bytes.length
+      i += 1
+    }
+    val lengthBuf = new ByteBuf(values.length)
+    RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = false)
+    ColumnStreams(Codecs.StringDirect, present.length, nullCount,
+      withPresent(Map(Streams.Data -> data.toArray, Streams.Length -> lengthBuf.toArray), present, nullCount))
+  }
+
+  // ---------- STRING: sorted dictionary ----------
+
+  def encodeStringDict(values: Array[String], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val dict = new StringDict
+    val provisionalIds = new Array[Int](values.length)
+    var i = 0
+    while (i < values.length) { provisionalIds(i) = dict.add(values(i)); i += 1 }
+    val (sortedValues, remap) = dict.freeze()
+    val (dictData, dictLengths) = StringDict.serialize(sortedValues)
+
+    val lookup = new Array[Long](values.length)
+    i = 0
+    while (i < values.length) { lookup(i) = remap(provisionalIds(i)).toLong; i += 1 }
+
+    val dataBuf = new ByteBuf(values.length)
+    RleV2Writer.write(dataBuf, lookup, signed = false, aligned = false)
+    val lengthBuf = new ByteBuf(sortedValues.length + 8)
+    RleV2Writer.write(lengthBuf, dictLengths, signed = false, aligned = false)
+
+    ColumnStreams(Codecs.StringDictV2, present.length, nullCount,
+      withPresent(Map(
+        Streams.Data -> dataBuf.toArray,
+        Streams.Length -> lengthBuf.toArray,
+        Streams.DictionaryData -> dictData), present, nullCount))
+  }
+
+  // ---------- STRING: FSST ----------
+
+  def encodeStringFsst(values: Array[String], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val corpus = new ByteBuf(1024)
+    val rawBytes = new Array[Array[Byte]](values.length)
+    var i = 0
+    while (i < values.length) {
+      rawBytes(i) = values(i).getBytes(StandardCharsets.UTF_8)
+      corpus.writeBytes(rawBytes(i))
+      i += 1
+    }
+    val table = Fsst.train(corpus.toArray)
+    val data = new ByteBuf(corpus.length / 2 + 64)
+    val lengths = new Array[Long](values.length) // compressed byte length per value
+    i = 0
+    while (i < values.length) {
+      val before = data.length
+      Fsst.compress(table, rawBytes(i), data)
+      lengths(i) = data.length - before
+      i += 1
+    }
+    val lengthBuf = new ByteBuf(values.length)
+    RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = false)
+    val tableBuf = new ByteBuf(1024)
+    table.serialize(tableBuf)
+    ColumnStreams(Codecs.StringFsst, present.length, nullCount,
+      withPresent(Map(
+        Streams.Data -> data.toArray,
+        Streams.Length -> lengthBuf.toArray,
+        Streams.SymbolTable -> tableBuf.toArray), present, nullCount))
+  }
+
+  def decodeString(cs: ColumnStreams): (Array[String], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val n = cs.rowCount - cs.nullCount
+    val values: Array[String] = cs.codec match {
+      case Codecs.StringDirect =>
+        val lengths = RleV2Reader.read(new BytesIn(cs.streams(Streams.Length)), signed = false, n)
+        val data = cs.streams(Streams.Data)
+        val out = new Array[String](n)
+        var off = 0
+        var i = 0
+        while (i < n) {
+          val len = lengths(i).toInt
+          out(i) = new String(data, off, len, StandardCharsets.UTF_8)
+          off += len
+          i += 1
+        }
+        out
+      case Codecs.StringDictV2 =>
+        val lookup = RleV2Reader.read(new BytesIn(cs.streams(Streams.Data)), signed = false, n)
+        val lengths = RleV2Reader.readAll(new BytesIn(cs.streams(Streams.Length)), signed = false)
+        val dict = StringDict.deserialize(cs.streams(Streams.DictionaryData), lengths)
+        lookup.map(id => dict(id.toInt))
+      case Codecs.StringFsst =>
+        val table = Fsst.SymbolTable.deserialize(new BytesIn(cs.streams(Streams.SymbolTable)))
+        val lengths = RleV2Reader.read(new BytesIn(cs.streams(Streams.Length)), signed = false, n)
+        val data = cs.streams(Streams.Data)
+        val out = new Array[String](n)
+        var off = 0
+        var i = 0
+        while (i < n) {
+          val len = lengths(i).toInt
+          val buf = new ByteBuf(len * 3 + 8)
+          Fsst.decompress(table, data, off, off + len, buf)
+          out(i) = new String(buf.unsafeArray, 0, buf.length, StandardCharsets.UTF_8)
+          off += len
+          i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(s"not a string codec: $other")
+    }
+    (values, present)
+  }
+
+  // ---------- TIMESTAMP (frame-of-reference, micros precision) ----------
+
+  /** 2015-01-01T00:00:00Z in epoch micros — the ORC timestamp epoch
+    * (/root/reference/src/ApacheOrcDotNet/ColumnTypes/TimestampWriter.cs:13).
+    */
+  final val OrcEpochMicros: Long = 1420070400L * 1000000L
+
+  /** Input: epoch micros (Spark's internal timestamp representation).
+    * DATA = signed seconds relative to the 2015 epoch, SECONDARY =
+    * (scaledNanos << 3 | scaleCode) with trailing zeros removed, unsigned.
+    */
+  def encodeTimestamp(epochMicros: Array[Long], present: Array[Boolean],
+                      aligned: Boolean = false): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val seconds = new Array[Long](epochMicros.length)
+    val fractions = new Array[Long](epochMicros.length)
+    var i = 0
+    while (i < epochMicros.length) {
+      val rel = epochMicros(i) - OrcEpochMicros
+      val secs = rel / 1000000L // truncates toward zero, matching the reference
+      val remMicros = rel - secs * 1000000L
+      val nanos = math.abs(remMicros) * 1000L
+      fractions(i) = removeZeros(nanos)
+      seconds(i) = secs
+      i += 1
+    }
+    val dataBuf = new ByteBuf(epochMicros.length)
+    RleV2Writer.write(dataBuf, seconds, signed = true, aligned = aligned)
+    val secondaryBuf = new ByteBuf(epochMicros.length)
+    RleV2Writer.write(secondaryBuf, fractions, signed = false, aligned = aligned)
+    ColumnStreams(Codecs.TimestampFor, present.length, nullCount,
+      withPresent(Map(Streams.Data -> dataBuf.toArray, Streams.Secondary -> secondaryBuf.toArray),
+        present, nullCount))
+  }
+
+  /** scaledNanos<<3 | scale, scale = count of trailing decimal zeros
+    * removed minus... exactly the reference's RemoveZeros table
+    * (TimestampWriter.cs:134-161).
+    */
+  private def removeZeros(nanos: Long): Long = {
+    if (nanos == 0) return (0L << 3) | 7 // 0 with max scale, matches reference (0/1e8==0, 0*1e8==0)
+    var scale = 7
+    var divisor = 100000000L
+    while (scale > 0) {
+      if (nanos % divisor == 0) return ((nanos / divisor) << 3) | scale
+      scale -= 1
+      divisor /= 10
+    }
+    (nanos << 3) | 0
+  }
+
+  def decodeTimestamp(cs: ColumnStreams): (Array[Long], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val n = cs.rowCount - cs.nullCount
+    val seconds = RleV2Reader.read(new BytesIn(cs.streams(Streams.Data)), signed = true, n)
+    val fractions = RleV2Reader.read(new BytesIn(cs.streams(Streams.Secondary)), signed = false, n)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val scale = (fractions(i) & 0x7).toInt
+      var nanos = fractions(i) >> 3
+      if (scale > 0) {
+        var s = scale + 1
+        while (s > 0) { nanos *= 10; s -= 1 }
+      }
+      val micros = nanos / 1000L
+      val secs = seconds(i)
+      out(i) = OrcEpochMicros + secs * 1000000L + (if (secs >= 0) micros else -micros)
+      i += 1
+    }
+    (out, present)
+  }
+
+  // ---------- DATE (epoch days, signed RLEv2) ----------
+
+  def encodeDate(epochDays: Array[Long], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val dataBuf = new ByteBuf(epochDays.length)
+    RleV2Writer.write(dataBuf, epochDays, signed = true, aligned = false)
+    ColumnStreams(Codecs.Date, present.length, nullCount,
+      withPresent(Map(Streams.Data -> dataBuf.toArray), present, nullCount))
+  }
+
+  def decodeDate(cs: ColumnStreams): (Array[Long], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val values = RleV2Reader.read(new BytesIn(cs.streams(Streams.Data)), signed = true,
+      cs.rowCount - cs.nullCount)
+    (values, present)
+  }
+
+  // ---------- DECIMAL(≤18, s): mantissa varint DATA + scale RLEv2 SECONDARY ----------
+
+  def encodeDecimal18(mantissas: Array[Long], scales: Array[Long], present: Array[Boolean]): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val dataBuf = new ByteBuf(mantissas.length * 2)
+    var i = 0
+    while (i < mantissas.length) { BitOps.writeVarIntSigned(dataBuf, mantissas(i)); i += 1 }
+    val secondaryBuf = new ByteBuf(scales.length)
+    RleV2Writer.write(secondaryBuf, scales, signed = true, aligned = false)
+    ColumnStreams(Codecs.Decimal18, present.length, nullCount,
+      withPresent(Map(Streams.Data -> dataBuf.toArray, Streams.Secondary -> secondaryBuf.toArray),
+        present, nullCount))
+  }
+
+  def decodeDecimal18(cs: ColumnStreams): (Array[Long], Array[Long], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val n = cs.rowCount - cs.nullCount
+    val in = new BytesIn(cs.streams(Streams.Data))
+    val mantissas = new Array[Long](n)
+    var i = 0
+    while (i < n) { mantissas(i) = BitOps.readVarIntSigned(in); i += 1 }
+    val scales = RleV2Reader.read(new BytesIn(cs.streams(Streams.Secondary)), signed = true, n)
+    (mantissas, scales, present)
+  }
+}
