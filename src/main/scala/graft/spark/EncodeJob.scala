@@ -1,0 +1,171 @@
+package graft.spark
+
+import graft.columns.CodecSelector
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** The distributed encode pipeline:
+  *
+  *   sample → pin codec decisions → partition with skew salting →
+  *   mapPartitions encode (TableEncoder) → chunk parquet + manifest commit,
+  *   optionally in batches so a killed run resumes from the last committed
+  *   batch.
+  *
+  * Scale design notes (targets a 1000-executor / 100 TB run; tested on
+  * local[32]):
+  *  - the sampling pass reads only string columns (column pruning reaches
+  *    the parquet scan) with a row cap;
+  *  - codec decisions are pinned BEFORE fan-out — the reference decides
+  *    per-writer on the first block (/root/reference/src/ApacheOrcDotNet/
+  *    ColumnTypes/StringWriter.cs:83-96), which is order-sensitive and so
+  *    non-deterministic under partitioning; pinning keeps every partition
+  *    encoding identically, and the decision is recorded in the manifest
+  *    so a resumed run reuses it instead of re-sampling;
+  *  - partitioning is an explicit repartition on (key, salt): values of
+  *    the skew key (lang is Zipfian in web data) get ceil(freq ×
+  *    parallelism) salt buckets each, so one hot key cannot stall the job;
+  *  - per-partition encode memory is bounded by chunkTargetBytes
+  *    regardless of partition size — the reference's 64 MiB stripe bound
+  *    generalized;
+  *  - commitBatches > 1 trades extra input scans for finer resume
+  *    granularity (each batch re-shuffles only its share at read time but
+  *    rescans input); the default 1 gives one pass + one atomic commit,
+  *    which is right when Spark task retries are the failure domain.
+  */
+object EncodeJob {
+
+  final case class Config(
+      outDir: String,
+      numPartitions: Int,
+      keyColumn: Option[String], // skew/salt key, e.g. "lang"
+      sampleRows: Int = 20000,
+      strideRows: Int = TableEncoder.DefaultStrideRows,
+      chunkTargetBytes: Long = TableEncoder.DefaultChunkTargetBytes,
+      commitBatches: Int = 1)
+
+  final case class Result(specs: Array[ColumnSpec], chunkDir: String, manifestDir: String,
+                          batchesEncoded: Int, batchesSkipped: Int)
+
+  def chunkDir(outDir: String) = s"$outDir/chunks"
+  def manifestDir(outDir: String) = s"$outDir/manifest"
+
+  /** Pin per-string-column codec decisions from a bounded sample. */
+  def pinStringCodecs(df: DataFrame, sampleRows: Int): Map[String, String] = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (stringCols.isEmpty) return Map.empty
+    // narrow scan over just the string columns; pruning reaches the source
+    val sample = df.select(stringCols.map(col).toIndexedSeq: _*).limit(sampleRows).collect()
+    stringCols.zipWithIndex.map { case (name, i) =>
+      val values = sample.iterator.filterNot(_.isNullAt(i)).map(_.getString(i)).toSeq
+      name -> CodecSelector.chooseStringCodec(CodecSelector.stringStats(values))
+    }.toMap
+  }
+
+  /** Explicit partitioning with skew salting. Deterministic across runs
+    * for the same input (required for batch resume): the salt is a hash
+    * of the full row, bucketed per key value by sampled frequency.
+    */
+  def partitionWithSalt(df: DataFrame, cfg: Config): DataFrame = cfg.keyColumn match {
+    case None => df.repartition(cfg.numPartitions)
+    case Some(key) =>
+      val freqs = df.groupBy(col(key)).count()
+        .orderBy(desc("count")).limit(100).collect()
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.get(0).toString -> r.getLong(1)))
+      val total = math.max(1L, freqs.map(_._2).sum)
+      // heavy keys get proportionally many buckets; everything else 1
+      val saltExpr = freqs.foldLeft(lit(1)) { case (acc, (v, c)) =>
+        val n = math.max(1, math.ceil(c.toDouble / total * cfg.numPartitions).toInt)
+        when(col(key) === lit(v), lit(n)).otherwise(acc)
+      }
+      df.withColumn("__salt",
+          pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), saltExpr.cast("long")))
+        .repartition(cfg.numPartitions, col(key), col("__salt"))
+        .drop("__salt")
+  }
+
+  /** Codec lineage string for the manifest (col=CODEC,...). */
+  private def lineage(specs: Array[ColumnSpec]): String =
+    specs.map(s => s"${s.name}=${if (s.logical == "string") s.stringCodec else s.logical.toUpperCase}").mkString(",")
+
+  private def parseLineage(s: String): Map[String, String] =
+    s.split(',').iterator.map { kv =>
+      val Array(k, v) = kv.split('=')
+      k -> v
+    }.filter { case (_, v) => v.startsWith("STRING_") }.toMap
+
+  /** Full run with resume: batches whose manifest rows are committed are
+    * skipped, and the recorded codec decisions are reused.
+    */
+  def run(df: DataFrame, cfg: Config): Result = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val existingManifest = {
+      // check existence first — a bare read of a missing path logs a noisy
+      // AnalysisException even when caught
+      val path = new org.apache.hadoop.fs.Path(manifestDir(cfg.outDir))
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) Some(spark.read.parquet(manifestDir(cfg.outDir))) else None
+    }
+
+    val committed: Set[Int] = existingManifest match {
+      case Some(m) => m.select("batch_id").distinct().as[Int].collect().toSet
+      case None    => Set.empty
+    }
+    // resume with the pinned decisions from lineage, not a fresh sample
+    val stringCodecs: Map[String, String] = existingManifest
+      .flatMap(m => m.select("codecs").limit(1).as[String].collect().headOption)
+      .map(parseLineage)
+      .getOrElse(pinStringCodecs(df, cfg.sampleRows))
+
+    val specs = TableEncoder.columnSpecs(df.schema, stringCodecs)
+    val codecLineage = lineage(specs)
+
+    val partitioned = partitionWithSalt(df, cfg)
+    val shredded = TableEncoder.shred(partitioned, specs)
+
+    var encoded = 0
+    var skipped = 0
+    (0 until cfg.commitBatches).foreach { b =>
+      if (committed.contains(b)) skipped += 1
+      else {
+        encoded += 1
+        val t0 = System.nanoTime()
+        val batchDf =
+          if (cfg.commitBatches == 1) shredded
+          else shredded.filter(pmod(spark_partition_id(), lit(cfg.commitBatches)) === b)
+        val chunks = TableEncoder.encode(batchDf, specs, cfg.strideRows, cfg.chunkTargetBytes)
+        chunks.write.mode(SaveMode.Append).parquet(chunkDir(cfg.outDir))
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+
+        // manifest rows from metadata columns only — parquet pruning keeps
+        // the heavy `streams` column unread
+        val summary = spark.read.parquet(chunkDir(cfg.outDir))
+          .select($"part_id", $"row_count", $"raw_bytes", $"encoded_bytes")
+          .filter(pmod($"part_id", lit(cfg.commitBatches)) === b)
+          .groupBy($"part_id")
+          .agg(count(lit(1)).as("chunks"), sum($"row_count").as("rows"),
+            sum($"raw_bytes").as("raw"), sum($"encoded_bytes").as("enc"))
+          .collect()
+        val entries = summary.map { r =>
+          ManifestEntry(r.getInt(0), b, r.getLong(1).toInt,
+            r.getLong(2) / math.max(1, specs.length), // rows were summed over columns
+            r.getLong(3), r.getLong(4), wallMs, codecLineage)
+        }
+        // commit point: the batch is durable only once these rows land
+        spark.createDataset(entries.toIndexedSeq).write.mode(SaveMode.Append)
+          .parquet(manifestDir(cfg.outDir))
+      }
+    }
+
+    Result(specs, chunkDir(cfg.outDir), manifestDir(cfg.outDir), encoded, skipped)
+  }
+
+  /** Read encoded chunks back into the original table shape. */
+  def readBack(spark: SparkSession, outDir: String, specs: Array[ColumnSpec]): DataFrame = {
+    import spark.implicits._
+    val chunks = spark.read.parquet(chunkDir(outDir)).as[EncodedChunk]
+    TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.spark
+
+/** One encoded column chunk — the distributed analogue of a stripe's
+  * per-column stream set plus its StripeInformation entry
+  * (/root/reference/src/ApacheOrcDotNet/Stripes/StripeWriter.cs:123-191).
+  * One row per (partition, chunk, column); `streams` values are
+  * zlib-block-framed (graft.core.ZlibBlock).
+  */
+final case class EncodedChunk(
+    part_id: Int,
+    chunk_id: Int,
+    first_row: Long, // row offset of this chunk within the partition
+    column: String,
+    codec: String,
+    row_count: Int,
+    null_count: Int,
+    streams: Map[String, Array[Byte]],
+    raw_bytes: Long,
+    encoded_bytes: Long,
+    min_val: Option[String],
+    max_val: Option[String])
+
+/** Per-partition lineage + metrics row, the manifest/commit-log analogue
+  * of the reference's Footer/Metadata tail (OrcWriter.cs:57-98). A
+  * partition is resumable iff its manifest row is committed.
+  */
+final case class ManifestEntry(
+    part_id: Int,
+    batch_id: Int,
+    chunk_count: Int,
+    row_count: Long,
+    raw_bytes: Long,
+    encoded_bytes: Long,
+    wall_ms: Long,
+    codecs: String) // "col=CODEC,col=CODEC" lineage of pinned decisions
+
+/** Column shredding spec: how a Spark column maps onto a physical codec
+  * input. `logical` ∈ long | bool | double | float | binary | string |
+  * timestamp | timestamp_ntz | date. `narrow` remembers the original
+  * integer width ("int" | "short" | "byte" | "") so decode restores the
+  * exact input schema after the long-funnel encode (the reference also
+  * funnels all integer widths through LongWriter, StripeWriter.cs:256-279).
+  */
+final case class ColumnSpec(name: String, logical: String, stringCodec: String,
+                            narrow: String = "")

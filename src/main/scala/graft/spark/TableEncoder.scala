@@ -1,0 +1,376 @@
+package graft.spark
+
+import graft.core.{ByteBuf, BytesIn, ZlibBlock}
+import graft.columns._
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable.ArrayBuffer
+
+/** Schema-driven encode/decode between a DataFrame and its per-column
+  * encoded chunks.
+  *
+  * Spark-first layout: the whole reference write path
+  * (StripeWriter.AddRows → CompleteStride → CompleteStripe,
+  * /root/reference/src/ApacheOrcDotNet/Stripes/StripeWriter.cs:52-191)
+  * happens INSIDE one `mapPartitions` closure — rows are pivoted into
+  * per-column buffers, flushed as a chunk every `strideRows` rows or
+  * `chunkTargetBytes` buffered bytes, whichever first. The only process
+  * boundaries are the explicit partitioning shuffle before encode and the
+  * manifest commit after — both north-rule additions the single-process
+  * reference lacks.
+  */
+object TableEncoder {
+
+  final val DefaultStrideRows = 10000 // reference stride (WriterConfiguration.cs:29)
+  final val DefaultChunkTargetBytes = 32L * 1024 * 1024 // bounded executor memory per buffer
+
+  // ---------- shredding: Spark types → codec-ready physical columns ----------
+
+  /** Columns are pre-converted with codegen'd expressions (unix_micros,
+    * datediff, casts) so the encode closure sees only long / bool /
+    * double / float / binary / string — no per-row type dispatch cost.
+    */
+  def columnSpecs(schema: StructType, stringCodecs: Map[String, String]): Array[ColumnSpec] =
+    schema.fields.map { f =>
+      val logical = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => "long"
+        case BooleanType                                   => "bool"
+        case DoubleType                                    => "double"
+        case FloatType                                     => "float"
+        case BinaryType                                    => "binary"
+        case StringType                                    => "string"
+        case TimestampType                                 => "timestamp"
+        case TimestampNTZType                              => "timestamp_ntz"
+        case DateType                                      => "date"
+        case dt => throw new IllegalArgumentException(s"unsupported column type for ${f.name}: $dt")
+      }
+      val narrow = f.dataType match {
+        case IntegerType => "int"
+        case ShortType   => "short"
+        case ByteType    => "byte"
+        case _           => ""
+      }
+      ColumnSpec(f.name, logical, stringCodecs.getOrElse(f.name, Codecs.StringDirect), narrow)
+    }
+
+  def shred(df: DataFrame, specs: Array[ColumnSpec]): DataFrame = {
+    val cols = specs.map { s =>
+      s.logical match {
+        case "long"          => col(s.name).cast(LongType).as(s.name)
+        case "timestamp"     => unix_micros(col(s.name)).as(s.name)
+        case "timestamp_ntz" => unix_micros(col(s.name).cast(TimestampType)).as(s.name)
+        case "date"      => datediff(col(s.name), lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType).as(s.name)
+        case _           => col(s.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Inverse of shred: physical decode output → original Spark types. */
+  def unshred(df: DataFrame, specs: Array[ColumnSpec]): DataFrame = {
+    val cols = specs.map { s =>
+      s.logical match {
+        case "timestamp"     => timestamp_micros(col(s.name)).as(s.name)
+        case "timestamp_ntz" => timestamp_micros(col(s.name)).cast(TimestampNTZType).as(s.name)
+        case "date"      => date_add(lit(java.sql.Date.valueOf("1970-01-01")), col(s.name).cast(IntegerType)).as(s.name)
+        case "long" if s.narrow.nonEmpty =>
+          val dt = s.narrow match { case "int" => IntegerType; case "short" => ShortType; case _ => ByteType }
+          col(s.name).cast(dt).as(s.name)
+        case _           => col(s.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  // ---------- per-column accumulation buffers ----------
+
+  private sealed trait ColBuf {
+    var rows = 0
+    var rawBytes = 0L
+    val present = new ArrayBuffer[Boolean]()
+    def add(row: Row, i: Int): Unit
+    def encode(): ColumnStreams
+    def minMax: (Option[String], Option[String])
+    def clear(): Unit = { rows = 0; rawBytes = 0L; present.clear() }
+  }
+
+  private final class LongColBuf(codecTag: String) extends ColBuf {
+    private val values = new ArrayBuffer[Long]()
+    private var mn = Long.MaxValue
+    private var mx = Long.MinValue
+    def add(row: Row, i: Int): Unit = {
+      rows += 1
+      if (row.isNullAt(i)) present += false
+      else {
+        present += true
+        val v = row.getLong(i)
+        values += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        rawBytes += 8
+      }
+    }
+    def encode(): ColumnStreams = {
+      val cs = codecTag match {
+        case "timestamp" => ColumnCodec.encodeTimestamp(values.toArray, present.toArray)
+        case "date"      => ColumnCodec.encodeDate(values.toArray, present.toArray)
+        case _           => ColumnCodec.encodeLong(values.toArray, present.toArray)
+      }
+      cs
+    }
+    def minMax: (Option[String], Option[String]) =
+      if (values.isEmpty) (None, None) else (Some(mn.toString), Some(mx.toString))
+    override def clear(): Unit = { super.clear(); values.clear(); mn = Long.MaxValue; mx = Long.MinValue }
+  }
+
+  private final class BoolColBuf extends ColBuf {
+    private val values = new ArrayBuffer[Boolean]()
+    def add(row: Row, i: Int): Unit = {
+      rows += 1
+      if (row.isNullAt(i)) present += false
+      else { present += true; values += row.getBoolean(i); rawBytes += 1 }
+    }
+    def encode(): ColumnStreams = ColumnCodec.encodeBool(values.toArray, present.toArray)
+    def minMax: (Option[String], Option[String]) = (None, None)
+    override def clear(): Unit = { super.clear(); values.clear() }
+  }
+
+  private final class DoubleColBuf extends ColBuf {
+    private val values = new ArrayBuffer[Double]()
+    def add(row: Row, i: Int): Unit = {
+      rows += 1
+      if (row.isNullAt(i)) present += false
+      else { present += true; values += row.getDouble(i); rawBytes += 8 }
+    }
+    def encode(): ColumnStreams = ColumnCodec.encodeDouble(values.toArray, present.toArray)
+    def minMax: (Option[String], Option[String]) = (None, None)
+    override def clear(): Unit = { super.clear(); values.clear() }
+  }
+
+  private final class FloatColBuf extends ColBuf {
+    private val values = new ArrayBuffer[Float]()
+    def add(row: Row, i: Int): Unit = {
+      rows += 1
+      if (row.isNullAt(i)) present += false
+      else { present += true; values += row.getFloat(i); rawBytes += 4 }
+    }
+    def encode(): ColumnStreams = ColumnCodec.encodeFloat(values.toArray, present.toArray)
+    def minMax: (Option[String], Option[String]) = (None, None)
+    override def clear(): Unit = { super.clear(); values.clear() }
+  }
+
+  private final class BinaryColBuf extends ColBuf {
+    private val values = new ArrayBuffer[Array[Byte]]()
+    def add(row: Row, i: Int): Unit = {
+      rows += 1
+      if (row.isNullAt(i)) present += false
+      else {
+        present += true
+        val v = row.getAs[Array[Byte]](i)
+        values += v
+        rawBytes += v.length
+      }
+    }
+    def encode(): ColumnStreams = ColumnCodec.encodeBinary(values.toArray, present.toArray)
+    def minMax: (Option[String], Option[String]) = (None, None)
+    override def clear(): Unit = { super.clear(); values.clear() }
+  }
+
+  private final class StringColBuf(codec: String) extends ColBuf {
+    private val values = new ArrayBuffer[String]()
+    private var mn: String = null
+    private var mx: String = null
+    def add(row: Row, i: Int): Unit = {
+      rows += 1
+      if (row.isNullAt(i)) present += false
+      else {
+        present += true
+        val v = row.getString(i)
+        values += v
+        if (mn == null || v < mn) mn = v
+        if (mx == null || v > mx) mx = v
+        rawBytes += v.length
+      }
+    }
+    def encode(): ColumnStreams = CodecSelector.encodeString(codec, values.toArray, present.toArray)
+    def minMax: (Option[String], Option[String]) = (Option(mn), Option(mx))
+    override def clear(): Unit = { super.clear(); values.clear(); mn = null; mx = null }
+  }
+
+  private def newBuf(spec: ColumnSpec): ColBuf = spec.logical match {
+    case "long"             => new LongColBuf("long")
+    case "timestamp" | "timestamp_ntz" => new LongColBuf("timestamp")
+    case "date"             => new LongColBuf("date")
+    case "bool"             => new BoolColBuf
+    case "double"           => new DoubleColBuf
+    case "float"            => new FloatColBuf
+    case "binary"           => new BinaryColBuf
+    case "string"           => new StringColBuf(spec.stringCodec)
+    case other              => throw new IllegalArgumentException(other)
+  }
+
+  private def codecName(spec: ColumnSpec): String = spec.logical match {
+    case "long"      => Codecs.LongRleV2
+    case "timestamp" | "timestamp_ntz" => Codecs.TimestampFor
+    case "date"      => Codecs.Date
+    case "bool"      => Codecs.Bool
+    case "double"    => Codecs.DoubleRaw
+    case "float"     => Codecs.FloatRaw
+    case "binary"    => Codecs.Binary
+    case "string"    => spec.stringCodec
+  }
+
+  // ---------- encode ----------
+
+  /** Shredded DataFrame → Dataset[EncodedChunk]. Pure narrow map (no
+    * shuffle): callers choose the partitioning beforehand (EncodeJob does
+    * range+salt). Stays in the Dataset API — the partition id travels as
+    * a codegen'd `spark_partition_id()` column rather than via RDD
+    * mapPartitionsWithIndex.
+    */
+  def encode(shredded: DataFrame, specs: Array[ColumnSpec],
+             strideRows: Int = DefaultStrideRows,
+             chunkTargetBytes: Long = DefaultChunkTargetBytes): Dataset[EncodedChunk] = {
+    val spark = shredded.sparkSession
+    import spark.implicits._
+    val specsB = spark.sparkContext.broadcast(specs)
+    val withPid = shredded.withColumn("__pid", spark_partition_id())
+    val pidIdx = specs.length
+
+    withPid.mapPartitions { rows =>
+      val sp = specsB.value
+      val bufs = sp.map(newBuf)
+      var pid = -1
+      var chunkId = 0
+      var firstRow = 0L
+      var rowsInChunk = 0
+      var bufferedBytes = 0L
+
+      def flush(): Iterator[EncodedChunk] = {
+        if (rowsInChunk == 0) Iterator.empty
+        else {
+          val out = sp.indices.iterator.map { i =>
+            val cs = bufs(i).encode()
+            val zstreams = cs.streams.map { case (k, v) => k -> ZlibBlock.compress(v) }
+            val (mn, mx) = bufs(i).minMax
+            EncodedChunk(pid, chunkId, firstRow, sp(i).name, cs.codec,
+              cs.rowCount, cs.nullCount, zstreams,
+              bufs(i).rawBytes, zstreams.valuesIterator.map(_.length.toLong).sum, mn, mx)
+          }.toArray
+          firstRow += rowsInChunk
+          chunkId += 1
+          rowsInChunk = 0
+          bufferedBytes = 0L
+          bufs.foreach(_.clear())
+          out.iterator
+        }
+      }
+
+      new Iterator[EncodedChunk] {
+        private var pending: Iterator[EncodedChunk] = Iterator.empty
+        private def fill(): Unit = {
+          while (!pending.hasNext && rows.hasNext) {
+            val row = rows.next()
+            if (pid < 0) pid = row.getInt(pidIdx)
+            var i = 0
+            bufferedBytes = 0L
+            while (i < sp.length) {
+              bufs(i).add(row, i)
+              bufferedBytes += bufs(i).rawBytes
+              i += 1
+            }
+            rowsInChunk += 1
+            if (rowsInChunk >= strideRows || bufferedBytes >= chunkTargetBytes)
+              pending = flush()
+          }
+          if (!pending.hasNext && rowsInChunk > 0) pending = flush()
+        }
+        def hasNext: Boolean = { fill(); pending.hasNext }
+        def next(): EncodedChunk = { fill(); pending.next() }
+      }
+    }
+  }
+
+  // ---------- decode ----------
+
+  /** Dataset[EncodedChunk] (or its DataFrame read back from parquet) →
+    * the original table. Chunks of the same (part_id, chunk_id) are
+    * reassembled with a groupByKey; decode is column-at-a-time then
+    * zipped back to rows.
+    */
+  def decode(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame = {
+    val spark = chunks.sparkSession
+    val specsB = spark.sparkContext.broadcast(specs)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(physicalSchema(specs))
+
+    import spark.implicits._
+    chunks.groupByKey(c => (c.part_id, c.chunk_id))
+      .flatMapGroups { (_, it) =>
+        val sp = specsB.value
+        val byCol = it.map(c => c.column -> c).toMap
+        decodeChunkRows(byCol, sp)
+      }(rowEnc)
+      .toDF()
+  }
+
+  /** Physical (shredded) schema for decode output. */
+  def physicalSchema(specs: Array[ColumnSpec]): StructType =
+    StructType(specs.map { s =>
+      val dt = s.logical match {
+        case "long" | "timestamp" | "timestamp_ntz" | "date" => LongType
+        case "bool"                        => BooleanType
+        case "double"                      => DoubleType
+        case "float"                       => FloatType
+        case "binary"                      => BinaryType
+        case "string"                      => StringType
+      }
+      StructField(s.name, dt, nullable = true)
+    })
+
+  /** Decode one chunk's columns and zip into Rows. Used by both the Spark
+    * decode path and direct tests.
+    */
+  def decodeChunkRows(byCol: Map[String, EncodedChunk], specs: Array[ColumnSpec]): Iterator[Row] = {
+    val nCols = specs.length
+    val colValues = new Array[Array[Any]](nCols) // null-merged, full row_count length
+    var rowCount = -1
+    var i = 0
+    while (i < nCols) {
+      val chunk = byCol(specs(i).name)
+      if (rowCount < 0) rowCount = chunk.row_count
+      require(chunk.row_count == rowCount, s"chunk row_count mismatch on ${specs(i).name}")
+      val streams = chunk.streams.map { case (k, v) => k -> ZlibBlock.decompress(v) }
+      val cs = ColumnStreams(chunk.codec, chunk.row_count, chunk.null_count, streams)
+      colValues(i) = decodeColumn(cs, specs(i))
+      i += 1
+    }
+    (0 until rowCount).iterator.map { r =>
+      Row.fromSeq((0 until nCols).map(c => colValues(c)(r)))
+    }
+  }
+
+  private def decodeColumn(cs: ColumnStreams, spec: ColumnSpec): Array[Any] = {
+    def merge[T](values: Array[T], present: Array[Boolean]): Array[Any] = {
+      val out = new Array[Any](present.length)
+      var v = 0
+      var i = 0
+      while (i < present.length) {
+        if (present(i)) { out(i) = values(v); v += 1 } else out(i) = null
+        i += 1
+      }
+      out
+    }
+    spec.logical match {
+      case "long"      => val (v, p) = ColumnCodec.decodeLong(cs); merge(v.map(java.lang.Long.valueOf), p)
+      case "timestamp" | "timestamp_ntz" => val (v, p) = ColumnCodec.decodeTimestamp(cs); merge(v.map(java.lang.Long.valueOf), p)
+      case "date"      => val (v, p) = ColumnCodec.decodeDate(cs); merge(v.map(java.lang.Long.valueOf), p)
+      case "bool"      => val (v, p) = ColumnCodec.decodeBool(cs); merge(v.map(java.lang.Boolean.valueOf), p)
+      case "double"    => val (v, p) = ColumnCodec.decodeDouble(cs); merge(v.map(java.lang.Double.valueOf), p)
+      case "float"     => val (v, p) = ColumnCodec.decodeFloat(cs); merge(v.map(java.lang.Float.valueOf), p)
+      case "binary"    => val (v, p) = ColumnCodec.decodeBinary(cs); merge(v, p)
+      case "string"    => val (v, p) = ColumnCodec.decodeString(cs); merge(v, p)
+    }
+  }
+}

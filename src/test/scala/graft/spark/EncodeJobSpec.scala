@@ -1,0 +1,156 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** End-to-end Spark tests: encode → parquet → decode must be
+  * bit-identical to the input (the north rule's invariant, keyed by url),
+  * including a kill/resume simulation over the batch commit log.
+  */
+class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val tmp = Files.createTempDirectory("graft-test").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sfDir = "/root/testdata/sf0.001"
+
+  test("webtext pages: encode → decode is bit-identical per url") {
+    val pages = WebGen.pages(spark, 5000, seed = 42, partitions = 4)
+    val out = s"$tmp/webtext"
+    val cfg = EncodeJob.Config(out, numPartitions = 8, keyColumn = Some("lang"))
+    val result = EncodeJob.run(pages.toDF(), cfg)
+    assert(result.batchesEncoded == 1)
+
+    val decoded = EncodeJob.readBack(spark, out, result.specs)
+    assert(decoded.count() == 5000)
+
+    // byte-identical text (and html) per url — the north-rule invariant
+    val orig = pages.toDF().select(col("url"), col("text"), col("html"), col("lang"), col("warc_ts"))
+    val joined = orig.alias("o").join(decoded.alias("d"), "url")
+    val mismatches = joined.filter(
+      col("o.text") =!= col("d.text") ||
+      col("o.lang") =!= col("d.lang") ||
+      col("o.warc_ts") =!= col("d.warc_ts") ||
+      md5(col("o.html")) =!= md5(col("d.html"))).count()
+    assert(mismatches == 0, s"$mismatches rows differ after round trip")
+    assert(joined.count() == 5000) // no lost/duplicated urls
+
+    // codec decisions recorded in lineage: lang must be dictionary-coded
+    val manifest = spark.read.parquet(result.manifestDir)
+    val codecs = manifest.select("codecs").first().getString(0)
+    assert(codecs.contains("lang=STRING_DICT"), codecs)
+    assert(codecs.contains("text=STRING_FSST") || codecs.contains("text=STRING_DIRECT"), codecs)
+  }
+
+  test("compression: encoded size beats raw and dictionary kicks in on lang") {
+    val pages = WebGen.pages(spark, 4000, seed = 7, partitions = 2).toDF()
+    val out = s"$tmp/compression"
+    val result = EncodeJob.run(pages, EncodeJob.Config(out, 4, Some("lang")))
+    val chunks = spark.read.parquet(result.chunkDir)
+    val byColumn = chunks.groupBy("column", "codec")
+      .agg(sum("raw_bytes").as("raw"), sum("encoded_bytes").as("enc"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val (langCodec, langRaw, langEnc) = byColumn("lang")
+    assert(langCodec == "STRING_DICT")
+    assert(langEnc < langRaw / 4, s"lang: $langEnc vs raw $langRaw")
+    val (_, textRaw, textEnc) = byColumn("text")
+    assert(textEnc < textRaw, s"text must compress: $textEnc vs $textRaw")
+  }
+
+  test("resume: committed batches are skipped, rows neither lost nor duplicated") {
+    val pages = WebGen.pages(spark, 3000, seed = 9, partitions = 4).toDF()
+    val out = s"$tmp/resume"
+    val cfg = EncodeJob.Config(out, numPartitions = 4, keyColumn = Some("lang"), commitBatches = 3)
+
+    // simulate a killed run: encode only batch 0 by running with a config
+    // that stops after the first batch — emulate by running full job, then
+    // deleting manifests of batches 1..2 and their chunks? Simpler: run
+    // full, record; then re-run and assert everything is skipped.
+    val r1 = EncodeJob.run(pages, cfg)
+    assert(r1.batchesEncoded == 3 && r1.batchesSkipped == 0)
+
+    val countAfterFirst = EncodeJob.readBack(spark, out, r1.specs).count()
+    assert(countAfterFirst == 3000)
+
+    // second run: all batches committed → nothing re-encoded, no duplicates
+    val r2 = EncodeJob.run(pages, cfg)
+    assert(r2.batchesEncoded == 0 && r2.batchesSkipped == 3)
+    assert(EncodeJob.readBack(spark, out, r2.specs).count() == 3000)
+  }
+
+  test("partial resume: only missing batches re-encode") {
+    val pages = WebGen.pages(spark, 2000, seed = 11, partitions = 4).toDF()
+    val out = s"$tmp/partial"
+    val cfg = EncodeJob.Config(out, numPartitions = 4, keyColumn = Some("lang"), commitBatches = 2)
+    EncodeJob.run(pages, cfg)
+
+    // surgically remove batch 1's commit (as if the job died mid-way):
+    // rewrite manifest with only batch 0 rows, and drop batch-1 chunks
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val manifest = spark.read.parquet(EncodeJob.manifestDir(out)).as[ManifestEntry].collect()
+    val chunks = spark.read.parquet(EncodeJob.chunkDir(out)).as[EncodedChunk]
+      .filter(c => c.part_id % 2 == 0).collect()
+    val fs = new java.io.File(out)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(fs)
+    spark.createDataset(chunks.toIndexedSeq).write.parquet(EncodeJob.chunkDir(out))
+    spark.createDataset(manifest.filter(_.batch_id == 0).toIndexedSeq)
+      .write.parquet(EncodeJob.manifestDir(out))
+
+    val r = EncodeJob.run(pages, cfg)
+    assert(r.batchesEncoded == 1 && r.batchesSkipped == 1, s"$r")
+    assert(EncodeJob.readBack(spark, out, r.specs).count() == 2000)
+  }
+
+  test("lineitem (TPC-H shape): full round trip through encode/decode") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val out = s"$tmp/lineitem"
+    val result = EncodeJob.run(li, EncodeJob.Config(out, 4, None))
+    val decoded = EncodeJob.readBack(spark, out, result.specs)
+    assert(decoded.schema == li.schema ||
+      decoded.schema.map(f => (f.name, f.dataType)) == li.schema.map(f => (f.name, f.dataType)))
+    // exact multiset equality via exceptAll in both directions
+    assert(decoded.exceptAll(li).count() == 0)
+    assert(li.exceptAll(decoded).count() == 0)
+  }
+
+  test("documents table: round trip preserves text exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = s"$tmp/documents"
+    val result = EncodeJob.run(docs, EncodeJob.Config(out, 4, Some("lang")))
+    val decoded = EncodeJob.readBack(spark, out, result.specs)
+    assert(decoded.exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(decoded).count() == 0)
+  }
+
+  test("skew salting: no partition holds more than ~3x the mean") {
+    val pages = WebGen.pages(spark, 20000, seed = 13, partitions = 8).toDF()
+    val parted = EncodeJob.partitionWithSalt(pages, EncodeJob.Config(s"$tmp/skew", 16, Some("lang")))
+    val sizes = parted.groupBy(spark_partition_id().as("pid")).count()
+      .select("count").collect().map(_.getLong(0))
+    val mean = sizes.sum.toDouble / 16 // target partition count
+    // 'en' alone is ~25-30% of a 40-lang Zipf; unsalted it would exceed 4x
+    assert(sizes.max < mean * 3, s"max ${sizes.max} vs mean $mean: skew not absorbed")
+  }
+}
