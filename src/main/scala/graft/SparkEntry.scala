@@ -1,13 +1,246 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
+import graft.spark.{EncodeJob, TableEncoder}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — queries per implemented operator (SURVEY.md §2 codecs
+  * exercised end-to-end via encode→decode round trips; training-data
+  * pipeline ops as first-class queries) with DuckDB oracles where the
+  * semantics are SQL-expressible with bit-stable results.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** In-memory encode→decode round trip through the full engine: pin
+    * codecs from a sample, shred, chunk-encode per partition (RLEv2 /
+    * dict / FSST / FoR / zlib), decode, restore schema. The identity of
+    * this transform IS the correctness claim for every codec underneath.
+    */
+  private def roundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
+    val codecs = EncodeJob.pinStringCodecs(df, sampleRows = 5000)
+    val specs = TableEncoder.columnSpecs(df.schema, codecs)
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs)
+    TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
+  }
+
+  private def read(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.parquet(s"$dir/$table.parquet")
+
+  /** Flagship query on sf=0.001: full round trip of the documents table
+    * through the encode/decode engine; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    roundTrip(spark, spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- codec coverage: encode→decode identity on real tables ----
+    "rt_lineitem" -> ((s, dir) =>
+      roundTrip(s, read(s, dir, "lineitem")).orderBy("l_orderkey", "l_linenumber")),
+    "rt_documents" -> ((s, dir) =>
+      roundTrip(s, read(s, dir, "documents")).orderBy("doc_id")),
+    "rt_events" -> ((s, dir) =>
+      roundTrip(s, read(s, dir, "events")).orderBy("event_id")),
+    "rt_orders" -> ((s, dir) =>
+      roundTrip(s, read(s, dir, "orders")).orderBy("o_orderkey")),
+    // narrow ints, decimal, float, bool, date — the full type funnel
+    "rt_alltypes" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_linenumber").cast("byte").as("v_byte"),
+        (col("l_suppkey") % 1000).cast("short").as("v_short"),
+        col("l_quantity").cast("decimal(18,6)").as("v_decimal"),
+        col("l_discount").cast("float").as("v_float"),
+        (col("l_orderkey") % 2 === 0).as("v_bool"),
+        col("l_shipdate").cast("date").as("v_date"))
+      roundTrip(s, li).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- analytics over the star schema (oracle-checked) ----
+    "q1_agg" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_join_agg" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val n = read(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) - col("l_discount").cast("decimal(18,4)"))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name")
+    }),
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      read(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running", round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+        .select("event_id", "user_id", "rn", "running")
+        .orderBy("user_id", "rn")
+    }),
+    "q_topk" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val p = read(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) - col("l_discount").cast("decimal(18,4)"))).as("revenue"))
+        .orderBy(desc("revenue"), col("p_brand"))
+        .limit(20)
+    }),
+
+    // ---- text analysis (oracle-checked where bit-stable) ----
+    "q_text_stats" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars2"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(length(trim(col("text"))) - length(regexp_replace(trim(col("text")), " ", "")) + 1)
+          .as("n_tokens"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          nullif(length(trim(col("text"))) - length(regexp_replace(trim(col("text")), " ", "")) + lit(1), lit(0)), 4)
+          .as("mean_word_len"))
+        .orderBy("doc_id")),
+    "q_dedup_exact" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .select("keep_id", "dup_count")
+        .orderBy("keep_id")),
+    "q_lang_counts" -> ((s, dir) =>
+      read(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
+
+    // ---- training-data pipeline ops (rows-only: not SQL-expressible) ----
+    "q_fingerprint" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fingerprint"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "q_langid" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val profiles = TextOps.trainLangProfiles(docs, "text", "lang")
+      docs.select(col("doc_id"), col("lang"),
+          TextOps.langIdUdf(profiles)(col("text")).as("predicted"))
+        .withColumn("correct", (col("lang") === col("predicted")).cast("int"))
+        .orderBy("doc_id")
+    }),
+    "q_minhash_neardup" -> ((s, dir) => {
+      // plant near-duplicates (first 20 docs with the first word dropped,
+      // ids offset by 1e6) so the detector's output is self-validating:
+      // each planted pair (i, i+1000000) must surface
+      val docs = read(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      Dedup.minhashNearDuplicates(docs.union(planted), "doc_id", "text",
+        k = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhashSignatures(read(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(5)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(5)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10, planes = 6)
+        .orderBy("query_id", "rank")
+    }),
+    "q_embed_neardup" -> ((s, dir) => {
+      // plant scaled copies (cosine exactly 1.0 to the original) so the
+      // bucket-join + verify pipeline provably recalls them
+      val emb = read(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      Dedup.embeddingNearDuplicates(emb.union(planted), "vec_id", "embedding",
+        planes = 8, threshold = 0.98)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_multimodal_meta" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .select(col("doc_id"), Multimodal.extractMetaUdf(col("blob")).as("meta"))
+        .select(col("doc_id"), col("meta.format"), col("meta.width"), col("meta.height"),
+          col("meta.frames"), col("meta.bytes"))
+        .orderBy("doc_id")),
+    "q_encode_metrics" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val codecs = EncodeJob.pinStringCodecs(docs, 5000)
+      val specs = TableEncoder.columnSpecs(docs.schema, codecs)
+      TableEncoder.encode(TableEncoder.shred(docs, specs), specs)
+        .groupBy(col("column"), col("codec"))
+        .agg(sum(col("raw_bytes")).as("raw_bytes"), sum(col("encoded_bytes")).as("encoded_bytes"))
+        .orderBy("column")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rt_lineitem" -> "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "rt_documents" -> "SELECT * FROM documents ORDER BY doc_id",
+    "rt_events" -> "SELECT * FROM events ORDER BY event_id",
+    "rt_orders" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "rt_alltypes" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_linenumber AS TINYINT) AS v_byte,
+        | CAST(l_suppkey % 1000 AS SMALLINT) AS v_short,
+        | CAST(l_quantity AS DECIMAL(18,6)) AS v_decimal,
+        | CAST(l_discount AS FLOAT) AS v_float,
+        | (l_orderkey % 2 = 0) AS v_bool,
+        | CAST(l_shipdate AS DATE) AS v_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window" ->
+      """SELECT event_id, user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS running
+        |FROM events ORDER BY user_id, rn""".stripMargin,
+    "q_topk" ->
+      """SELECT p_brand,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 20""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars2,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens,
+        | round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |   NULLIF(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1, 0), 4) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_lang_counts" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+  )
 }

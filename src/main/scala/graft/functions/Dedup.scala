@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale training data.
+  *
+  * Scale notes: exact dedup is one hash-shuffle on the dedup key; MinHash
+  * LSH shuffles (band, bandHash) buckets instead of all-pairs (candidate
+  * generation is linear, verification only within buckets); SimHash is one
+  * narrow pass producing a 64-bit signature. All signatures are built with
+  * codegen'd expressions (xxhash64), no Python, no crossJoin.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per `keyCol`
+    * value. One shuffle; for 100 TB use the fingerprint (64-bit) as the
+    * key rather than the full text to keep shuffle rows small.
+    */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word shingles of size k, lowercased, distinct. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val n = size(tokens)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => when(i + k <= n, concat_ws(" ", slice(tokens, i + 1, lit(k))))),
+        s => s.isNotNull))
+  }
+
+  /** MinHash signature: K independent min-hashes over the shingle set,
+    * computed by exploding shingles and aggregating K mins per row id —
+    * all xxhash64 expressions, fully codegen'd.
+    *
+    * Returns df with columns: idCol, minhash (array<long> length K).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val mins = (0 until k).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__m$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("minhash"))
+  }
+
+  /** LSH banding: candidate pairs from rows sharing any (band, bandHash)
+    * bucket, then verified with exact shingle Jaccard ≥ threshold.
+    * bands×rowsPerBand must equal the signature length.
+    *
+    * Returns pairs (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                            threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleSize)
+
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            (0 until rowsPerBand).map(r =>
+              element_at(col("minhash"), (b * rowsPerBand + r + 1).cast("int")).cast("string")): _*), b))
+      ).as(Seq("band", "bucket")))
+
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+
+    // verify candidates with exact Jaccard over shingle sets
+    val withShingles = df.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+    val verified = candidates
+      .join(withShingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(withShingles.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verified
+  }
+
+  /** SimHash 64-bit signature via bit-vote aggregation — expression-only:
+    * explode tokens, hash, explode 64 bit positions? That would be 64×
+    * row blowup; instead vote with 64 conditional sums per id (codegen'd,
+    * one aggregation pass).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"__v$b")
+    }
+    val voted = exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity between two text columns (pairwise
+    * expression — for verification and small candidate sets).
+    */
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
+    val sa = shingles(a, k)
+    val sb = shingles(b, k)
+    when(size(array_union(sa, sb)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)))
+  }
+
+  /** Embedding cosine near-duplicate pairs via LSH bucketing (random
+    * hyperplane signs over broadcast seed hashes) + exact verification.
+    * See Similarity for the generic top-k path.
+    */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                              planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val bucketed = df.withColumn("__bucket", Similarity.hyperplaneBucket(col(vecCol), planes))
+    val pairs = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    pairs
+  }
+}

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque
+  * `binary` columns with typed metadata. The Spark side — schema,
+  * partitioning, batch shape, UDF signatures — is real and tested; the
+  * actual media decode is STUBBED behind `FakeDecoder` (media libraries
+  * are not in this container) with a deterministic fake so tests have
+  * stable expectations. Swap `FakeDecoder` for a real codec (e.g. a
+  * JNI/ffmpeg bridge or mapInPandas + PIL on clusters that have them)
+  * without touching the pipeline.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a media blob. */
+  final case class MediaMeta(format: String, width: Int, height: Int,
+                             frames: Int, bytes: Long)
+
+  /** Fixed-size feature vector from a media blob. */
+  final case class MediaFeature(id: Long, feature: Array[Float])
+
+  /** STUB — deterministic fake decode. A real implementation would parse
+    * the container header (PNG/JPEG/WAV/MP4) and hand pixel/sample buffers
+    * to the feature extractor. The fake derives plausible metadata and a
+    * feature vector from a hash of the bytes so everything downstream is
+    * deterministic and testable.
+    */
+  object FakeDecoder {
+    def sniffFormat(bytes: Array[Byte]): String =
+      if (bytes.length >= 8 &&
+        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+      else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "wav"
+      else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') "mp4"
+      else "unknown"
+
+    def meta(bytes: Array[Byte]): MediaMeta = {
+      var h = 1469598103934665603L
+      var i = 0
+      val n = math.min(bytes.length, 256)
+      while (i < n) { h ^= bytes(i); h *= 1099511628211L; i += 1 }
+      MediaMeta(sniffFormat(bytes),
+        width = 64 + (math.abs(h) % 1024).toInt,
+        height = 64 + (math.abs(h >> 10) % 1024).toInt,
+        frames = 1 + (math.abs(h >> 20) % 64).toInt,
+        bytes = bytes.length.toLong)
+    }
+
+    def feature(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h ^= bytes(i); h *= 1099511628211L; i += 1 }
+      i = 0
+      while (i < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((h >>> 33).toInt % 1000) / 1000.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Metadata extraction as a column: blob → struct(format,width,height,
+    * frames,bytes). UDF over binary — one pass, no shuffle.
+    */
+  val extractMetaUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) => if (bytes == null) null else FakeDecoder.meta(bytes) }
+
+  /** Feature extraction over partitions, batch-shaped like a Pandas-UDF:
+    * the closure receives an iterator and can batch blobs for a vectorized
+    * decoder (a GPU feature extractor wants 64–256 blobs per call). On
+    * clusters with Python + PIL this becomes mapInPandas with the same
+    * batch shape.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, blobCol: String,
+                      dim: Int = 64, batchSize: Int = 64): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // batch boundary: a real decoder gets the whole Array at once
+          batch.map { case (id, blob) => MediaFeature(id, FakeDecoder.feature(blob, dim)) }
+        }
+      }
+  }
+
+  /** Frame sampling plumbing for video blobs: emit (id, frameIdx) rows for
+    * every n-th frame according to the (stubbed) frame count — the shape
+    * a real frame extractor would fan out to.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, blobCol: String, everyNth: Int = 10): DataFrame = {
+    val frameCount = udf { (bytes: Array[Byte]) => if (bytes == null) 0 else FakeDecoder.meta(bytes).frames }
+    df.select(col(idCol), frameCount(col(blobCol)).as("__frames"))
+      .withColumn("frame_idx", explode(sequence(lit(0), greatest(col("__frames") - 1, lit(0)), lit(everyNth))))
+      .drop("__frames")
+  }
+
+  /** Resize request plumbing: passes target dims through the stub decode
+    * so the output schema matches a real thumbnailer (id, width, height,
+    * thumbnail-bytes).
+    */
+  def resizeStub(df: DataFrame, idCol: String, blobCol: String,
+                 targetW: Int, targetH: Int): DataFrame = {
+    val thumb = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else FakeDecoder.feature(bytes, 16).map(f => (f * 255).toByte) // deterministic fake thumbnail
+    }
+    df.select(col(idCol), lit(targetW).as("width"), lit(targetH).as("height"),
+      thumb(col(blobCol)).as("thumbnail"))
+  }
+}

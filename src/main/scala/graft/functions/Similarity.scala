@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast join of the (small)
+  * query set against the corpus, dot products as codegen'd
+  * zip_with/aggregate expressions, top-k per query via window. Scale path:
+  * random-hyperplane LSH bucketing — each vector lands in one bucket,
+  * candidates are bucket-local, recall traded via `planes`/multi-probe.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (expression-only). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  /** Cosine similarity, null-safe for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows. Queries are broadcast (must be small); the corpus is scanned
+    * once — at 100 TB this is the exact-answer baseline you run on a
+    * filtered candidate set, not the whole corpus.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, queryIdCol: String,
+                     k: Int = 10): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(q), col(idCol) =!= col("query_id")) // all pairs vs broadcast queries
+      .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cosine"), col(idCol))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col(idCol), round(col("cosine"), 6).as("cosine"), col("__rank").as("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bit per pseudo-random plane.
+    * Planes are derived from xxhash64 of (dimension, plane) — fully
+    * deterministic, no stored model; a plane's weight for dimension d is
+    * a hash-derived value in [-1, 1).
+    */
+  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // projection = Σ_d vec[d] * w(p, d); w derived from xxhash64(d, p)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x * (pmod(xxhash64(d, lit(p)), lit(2000001)).cast("double") / lit(1000000.0) - lit(1.0))),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: queries join only their bucket.
+    * Recall is tuned by lowering `planes` (bigger buckets) — the
+    * IVF-style scale path where brute force is unaffordable.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int = 10, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", hyperplaneBucket(col(vecCol), planes))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__bucket", hyperplaneBucket(col("__qvec"), planes))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cosine"), col(idCol))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col(idCol), round(col("cosine"), 6).as("cosine"), col("__rank").as("rank"))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline.
+  * Everything here is built from codegen'd `functions._` expressions where
+  * possible; the two model-driven ops (language ID, fingerprint) use one
+  * compact Scala UDF each over data broadcast from a driver-side sample.
+  */
+object TextOps {
+
+  /** Whitespace token count, pure expression (stays in codegen). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word-boundary pieces plus intra-word splits
+    * every ~4 chars, the usual pre-tokenizer upper bound heuristic.
+    */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")) +
+        (length(regexp_replace(text, "\\s+", "")) / lit(4)).cast("int"))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / length(text))
+
+  /** Uppercase ratio over letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
+    when(letters === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^\\p{Lu}]", "")).cast("double") / letters)
+  }
+
+  /** Mean word length. */
+  def meanWordLength(text: Column): Column = {
+    val tokens = tokenCount(text)
+    when(tokens === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / tokens)
+  }
+
+  /** Stopword ratio against a provided list (column-level, codegen'd:
+    * the list becomes an array literal; no UDF).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val hits = size(array_intersect(tokens, array(stopwords.map(lit): _*)))
+    // ratio of *distinct* stopwords seen is robust for word-salad text;
+    // combine with token-level containment for a usable quality feature
+    val contained = size(filter(tokens, t => array_contains(array(stopwords.map(lit): _*), t)))
+    when(size(tokens) === 0, lit(0.0)).otherwise(contained.cast("double") / size(tokens))
+  }
+
+  /** Composite quality score in [0,1]: length, word-shape and punctuation
+    * heuristics — the usual web-text quality filter features.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val wordLen = meanWordLength(text)
+    val wordShape = when(wordLen.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.3))
+    val punct = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val upper = lit(1.0) - least(upperRatio(text) * 2.0, lit(1.0))
+    round((lenScore * 0.4 + wordShape * 0.3 + punct * 0.2 + upper * 0.1), 4)
+  }
+
+  /** Language ID by character n-gram profile match.
+    *
+    * Profiles are learned from a labeled sample (driver-side, bounded) and
+    * broadcast inside the returned UDF closure; scoring is a single pass
+    * over the document's trigrams. Self-contained — no external models.
+    */
+  def langIdUdf(profiles: Map[String, Map[String, Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null || text.length < 3) null
+      else {
+        val counts = trigramCounts(text, cap = 2000)
+        var bestLang: String = null
+        var bestScore = Double.MinValue
+        profiles.foreach { case (lang, profile) =>
+          var score = 0.0
+          counts.foreach { case (g, c) => score += profile.getOrElse(g, 0.0) * c }
+          if (score > bestScore) { bestScore = score; bestLang = lang }
+        }
+        bestLang
+      }
+    }
+
+  /** Train per-language trigram log-frequency profiles from (text, lang)
+    * rows. Bounded: `sampleRows` rows, top `topK` trigrams per language.
+    */
+  def trainLangProfiles(df: DataFrame, textCol: String, langCol: String,
+                        sampleRows: Int = 5000, topK: Int = 300): Map[String, Map[String, Double]] = {
+    val sample = df.select(col(textCol), col(langCol))
+      .filter(col(textCol).isNotNull && col(langCol).isNotNull)
+      .limit(sampleRows).collect()
+    sample.groupBy(_.getString(1)).map { case (lang, rows) =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      rows.foreach { r =>
+        trigramCounts(r.getString(0), cap = 5000).foreach { case (g, c) =>
+          counts.update(g, counts.getOrElse(g, 0L) + c)
+        }
+      }
+      val total = math.max(1L, counts.values.sum)
+      val top = counts.toSeq.sortBy(-_._2).take(topK)
+      lang -> top.map { case (g, c) => g -> (math.log(c.toDouble / total + 1e-9) - math.log(1e-9)) }.toMap
+    }
+  }
+
+  private def trigramCounts(text: String, cap: Int): Map[String, Int] = {
+    val t = text.toLowerCase
+    val m = new scala.collection.mutable.HashMap[String, Int]()
+    var i = 0
+    val n = math.min(t.length - 2, cap)
+    while (i < n) {
+      val g = t.substring(i, i + 3)
+      m.update(g, m.getOrElse(g, 0) + 1)
+      i += 1
+    }
+    m.toMap
+  }
+
+  /** 64-bit rolling-hash document fingerprint (content-defined, whitespace
+    * normalized): equal fingerprints ⇒ near-certain exact duplicates,
+    * cheap first-pass dedup key.
+    */
+  val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction = udf { (text: String) =>
+    if (text == null) null
+    else {
+      var h = 1469598103934665603L // FNV offset basis
+      var i = 0
+      var lastWasSpace = true
+      while (i < text.length) {
+        val c = text.charAt(i)
+        val isSpace = Character.isWhitespace(c)
+        if (!isSpace) {
+          h ^= c.toLong
+          h *= 1099511628211L
+          lastWasSpace = false
+        } else if (!lastWasSpace) {
+          h ^= ' '.toLong
+          h *= 1099511628211L
+          lastWasSpace = true
+        }
+        i += 1
+      }
+      java.lang.Long.valueOf(h)
+    }
+  }
+}

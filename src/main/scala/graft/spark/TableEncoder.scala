@@ -43,13 +43,15 @@ object TableEncoder {
         case TimestampType                                 => "timestamp"
         case TimestampNTZType                              => "timestamp_ntz"
         case DateType                                      => "date"
+        case d: DecimalType if d.precision <= 18           => "decimal"
         case dt => throw new IllegalArgumentException(s"unsupported column type for ${f.name}: $dt")
       }
       val narrow = f.dataType match {
-        case IntegerType => "int"
-        case ShortType   => "short"
-        case ByteType    => "byte"
-        case _           => ""
+        case IntegerType    => "int"
+        case ShortType      => "short"
+        case ByteType       => "byte"
+        case d: DecimalType => s"${d.precision},${d.scale}"
+        case _              => ""
       }
       ColumnSpec(f.name, logical, stringCodecs.getOrElse(f.name, Codecs.StringDirect), narrow)
     }
@@ -61,6 +63,12 @@ object TableEncoder {
         case "timestamp"     => unix_micros(col(s.name)).as(s.name)
         case "timestamp_ntz" => unix_micros(col(s.name).cast(TimestampType)).as(s.name)
         case "date"      => datediff(col(s.name), lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType).as(s.name)
+        case "decimal" =>
+          // decimal(p≤18,s) → unscaled mantissa long; ×10^s in exact
+          // decimal arithmetic (the reference's mantissa+scale model,
+          // DecimalWriter.cs:30-31)
+          val sc = s.narrow.split(',')(1).toInt
+          (col(s.name) * lit(java.math.BigDecimal.TEN.pow(sc))).cast(LongType).as(s.name)
         case _           => col(s.name)
       }
     }
@@ -77,6 +85,10 @@ object TableEncoder {
         case "long" if s.narrow.nonEmpty =>
           val dt = s.narrow match { case "int" => IntegerType; case "short" => ShortType; case _ => ByteType }
           col(s.name).cast(dt).as(s.name)
+        case "decimal" =>
+          val Array(p0, sc) = s.narrow.split(',').map(_.toInt)
+          (col(s.name).cast(DecimalType(38, 0)) / lit(java.math.BigDecimal.TEN.pow(sc)))
+            .cast(DecimalType(p0, sc)).as(s.name)
         case _           => col(s.name)
       }
     }
@@ -111,13 +123,13 @@ object TableEncoder {
         rawBytes += 8
       }
     }
-    def encode(): ColumnStreams = {
-      val cs = codecTag match {
-        case "timestamp" => ColumnCodec.encodeTimestamp(values.toArray, present.toArray)
-        case "date"      => ColumnCodec.encodeDate(values.toArray, present.toArray)
-        case _           => ColumnCodec.encodeLong(values.toArray, present.toArray)
-      }
-      cs
+    def encode(): ColumnStreams = codecTag match {
+      case "timestamp" => ColumnCodec.encodeTimestamp(values.toArray, present.toArray)
+      case "date"      => ColumnCodec.encodeDate(values.toArray, present.toArray)
+      case t if t.startsWith("decimal:") =>
+        val sc = t.substring(8).toLong
+        ColumnCodec.encodeDecimal18(values.toArray, Array.fill(values.length)(sc), present.toArray)
+      case _           => ColumnCodec.encodeLong(values.toArray, present.toArray)
     }
     def minMax: (Option[String], Option[String]) =
       if (values.isEmpty) (None, None) else (Some(mn.toString), Some(mx.toString))
@@ -201,6 +213,7 @@ object TableEncoder {
   private def newBuf(spec: ColumnSpec): ColBuf = spec.logical match {
     case "long"             => new LongColBuf("long")
     case "timestamp" | "timestamp_ntz" => new LongColBuf("timestamp")
+    case "decimal"          => new LongColBuf("decimal:" + spec.narrow.split(',')(1))
     case "date"             => new LongColBuf("date")
     case "bool"             => new BoolColBuf
     case "double"           => new DoubleColBuf
@@ -213,6 +226,7 @@ object TableEncoder {
   private def codecName(spec: ColumnSpec): String = spec.logical match {
     case "long"      => Codecs.LongRleV2
     case "timestamp" | "timestamp_ntz" => Codecs.TimestampFor
+    case "decimal"   => Codecs.Decimal18
     case "date"      => Codecs.Date
     case "bool"      => Codecs.Bool
     case "double"    => Codecs.DoubleRaw
@@ -319,7 +333,7 @@ object TableEncoder {
   def physicalSchema(specs: Array[ColumnSpec]): StructType =
     StructType(specs.map { s =>
       val dt = s.logical match {
-        case "long" | "timestamp" | "timestamp_ntz" | "date" => LongType
+        case "long" | "timestamp" | "timestamp_ntz" | "date" | "decimal" => LongType
         case "bool"                        => BooleanType
         case "double"                      => DoubleType
         case "float"                       => FloatType
@@ -364,6 +378,7 @@ object TableEncoder {
     }
     spec.logical match {
       case "long"      => val (v, p) = ColumnCodec.decodeLong(cs); merge(v.map(java.lang.Long.valueOf), p)
+      case "decimal"   => val (v, _, p) = ColumnCodec.decodeDecimal18(cs); merge(v.map(java.lang.Long.valueOf), p)
       case "timestamp" | "timestamp_ntz" => val (v, p) = ColumnCodec.decodeTimestamp(cs); merge(v.map(java.lang.Long.valueOf), p)
       case "date"      => val (v, p) = ColumnCodec.decodeDate(cs); merge(v.map(java.lang.Long.valueOf), p)
       case "bool"      => val (v, p) = ColumnCodec.decodeBool(cs); merge(v.map(java.lang.Boolean.valueOf), p)
