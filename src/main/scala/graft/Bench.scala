@@ -28,14 +28,16 @@ object Bench {
     s
   }
 
-  /** One full encode pass over `rows` generated pages; returns (seconds,
-    * rawBytes, encodedBytes). Generation cost is excluded by timing only
-    * the encode stage over a pre-materialized cached input.
+  /** One encode measurement at one parallelism level. The timed pipeline
+    * is generate→shred→encode (a fused narrow pipeline, the shape of a
+    * real ingest job); a generation-only pass is timed the same way so
+    * encode-only time can be derived.
+    *
+    * Returns (genSec, pipelineSec, rawBytes, encodedBytes).
     */
-  private def encodeBench(spark: SparkSession, rows: Long, cpus: Int): (Double, Long, Long) = {
-    import spark.implicits._
+  private def encodeOnce(spark: SparkSession, rows: Long, cpus: Int,
+                         warm: Boolean): (Double, Double, Long, Long) = {
     val pages = WebGen.pages(spark, rows, seed = 42, partitions = cpus).toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawBytes = pages.select(
       sum(length(col("url")) + length(col("text")) + octet_length(col("html")) + lit(16))).first().getLong(0)
 
@@ -43,15 +45,45 @@ object Bench {
     val specs = TableEncoder.columnSpecs(pages.schema, codecs)
     val shredded = TableEncoder.shred(pages, specs)
 
-    // warmup (JIT) on a slice
-    TableEncoder.encode(shredded.limit(2000), specs).foreach(_ => ())
-
+    var encodedBytes = 0L
+    def pipelinePass(): Double = {
+      val t0 = System.nanoTime()
+      encodedBytes = TableEncoder.encode(shredded, specs)
+        .agg(sum(col("encoded_bytes"))).first().getLong(0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (warm) pipelinePass() // JIT-warm the real path before timing
     val t0 = System.nanoTime()
-    val encodedBytes = TableEncoder.encode(shredded, specs)
-      .agg(sum(col("encoded_bytes"))).first().getLong(0)
-    val sec = (System.nanoTime() - t0) / 1e9
-    pages.unpersist()
-    (sec, rawBytes, encodedBytes)
+    pages.select(sum(length(col("text")) + octet_length(col("html")))).first()
+    val genSec = (System.nanoTime() - t0) / 1e9
+    val pipeSec = pipelinePass()
+    (genSec, pipeSec, rawBytes, encodedBytes)
+  }
+
+  /** This sandbox VM shows transient CPU-steal storms (minutes-long
+    * windows where >8 runnable threads collapse throughput), so a block
+    * of measurements at one level is not comparable to a later block at
+    * another. Levels are therefore INTERLEAVED round-robin and the min
+    * per level is reported — both levels sample the same host weather,
+    * and the min estimates capability without noisy neighbors.
+    */
+  private def encodeBenchInterleaved(rows: Long, levels: Seq[Int], rounds: Int)
+      : (Map[Int, (Double, Double)], Long, Long) = {
+    val best = scala.collection.mutable.Map[Int, (Double, Double)]()
+    var rawBytes = 0L
+    var encodedBytes = 0L
+    (1 to rounds).foreach { round =>
+      levels.foreach { lvl =>
+        val spark = session(lvl)
+        val (gen, pipe, raw, enc) = encodeOnce(spark, rows, lvl, warm = round == 1)
+        spark.stop()
+        rawBytes = raw
+        if (lvl == levels.head) encodedBytes = enc
+        val cur = best.getOrElse(lvl, (Double.MaxValue, Double.MaxValue))
+        best(lvl) = (math.min(cur._1, gen), math.min(cur._2, pipe))
+      }
+    }
+    (best.toMap, rawBytes, encodedBytes)
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,25 +99,31 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // -------- encode throughput at local[cpus] --------
-    val (secN, rawBytes, encodedBytes) = encodeBench(spark, benchRows, cpus)
     spark.stop()
 
-    // -------- same job at quarter parallelism (N vs 4N evidence) --------
+    // -------- encode throughput, N vs 4N, interleaved --------
     val lowCpus = math.max(1, cpus / 4)
-    spark = session(lowCpus)
-    val (secLow, _, _) = encodeBench(spark, benchRows, lowCpus)
-    spark.stop()
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val (best, rawBytes, encodedBytes) =
+      encodeBenchInterleaved(benchRows, Seq(cpus, lowCpus), rounds)
+    val (genN, pipeN) = best(cpus)
+    val (genLow, pipeLow) = best(lowCpus)
 
-    val gbpsN = rawBytes / 1e9 / secN
-    val gbpsLow = rawBytes / 1e9 / secLow
-    val efficiency = (secLow / secN) / (cpus.toDouble / lowCpus)
+    val encSecN = math.max(0.001, pipeN - genN)
+    val encSecLow = math.max(0.001, pipeLow - genLow)
+    val gbpsN = rawBytes / 1e9 / encSecN
+    val gbpsLow = rawBytes / 1e9 / encSecLow
+    // efficiency over the full pipeline (conservative: includes generation)
+    val efficiency = (pipeLow / pipeN) / (cpus.toDouble / lowCpus)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val encodeJson =
-      f"""{"rows":$benchRows,"raw_gb":${rawBytes / 1e9}%.3f,"sec$cpus%d":$secN%.2f,"sec$lowCpus%d":$secLow%.2f,""" +
-        f""""gbps$cpus%d":$gbpsN%.3f,"gbps$lowCpus%d":$gbpsLow%.3f,"scaling_efficiency":$efficiency%.3f,""" +
+      f"""{"rows":$benchRows,"raw_gb":${rawBytes / 1e9}%.3f,""" +
+        f""""pipe_sec$cpus%d":$pipeN%.2f,"pipe_sec$lowCpus%d":$pipeLow%.2f,""" +
+        f""""gen_sec$cpus%d":$genN%.2f,"gen_sec$lowCpus%d":$genLow%.2f,""" +
+        f""""encode_gbps$cpus%d":$gbpsN%.3f,"encode_gbps$lowCpus%d":$gbpsLow%.3f,""" +
+        f""""scaling_efficiency":$efficiency%.3f,""" +
         f""""bytes_per_doc":${encodedBytes.toDouble / benchRows}%.1f,"compression_ratio":${encodedBytes.toDouble / rawBytes}%.4f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":$encodeJson}""")

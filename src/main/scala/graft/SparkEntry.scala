@@ -57,6 +57,22 @@ object SparkEntry {
       roundTrip(s, li).orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // chunk pruning: cluster on the key, encode, then decode ONLY chunks
+    // whose [min,max] stats overlap the predicate — the per-stride stats
+    // of the reference (SURVEY §2.5) actually exploited
+    "rt_pruned" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val clustered = li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+      val codecs = EncodeJob.pinStringCodecs(li, 5000)
+      val specs = TableEncoder.columnSpecs(li.schema, codecs)
+      val chunks = TableEncoder.encode(TableEncoder.shred(clustered, specs), specs, strideRows = 2000)
+      TableEncoder.unshred(
+          TableEncoder.decodePruned(chunks, specs, "l_orderkey", 1000L, 2000L), specs)
+        .filter(col("l_orderkey").between(1000, 2000))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- analytics over the star schema (oracle-checked) ----
     "q1_agg" -> ((s, dir) =>
       read(s, dir, "lineitem")
@@ -195,6 +211,8 @@ object SparkEntry {
     "rt_documents" -> "SELECT * FROM documents ORDER BY doc_id",
     "rt_events" -> "SELECT * FROM events ORDER BY event_id",
     "rt_orders" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "rt_pruned" ->
+      "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 ORDER BY l_orderkey, l_linenumber",
     "rt_alltypes" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(l_linenumber AS TINYINT) AS v_byte,

@@ -79,11 +79,17 @@ object CodecSelector {
       if (count == 0) 0.0 else totalLen.toDouble / count, entropy, fsstRatio)
   }
 
-  /** Encode a string column with an explicit pre-pinned decision. */
-  def encodeString(codec: String, values: Array[String], present: Array[Boolean]): ColumnStreams =
+  /** Encode a string column with an explicit pre-pinned decision.
+    * `fsstTable` (optional) reuses a partition-local symbol table instead
+    * of retraining per chunk — training cost is amortized across a
+    * partition's chunks while the table stays adapted to the partition's
+    * (lang-clustered, post-salting) data.
+    */
+  def encodeString(codec: String, values: Array[String], present: Array[Boolean],
+                   fsstTable: graft.core.Fsst.SymbolTable = null): ColumnStreams =
     codec match {
       case Codecs.StringDictV2 => ColumnCodec.encodeStringDict(values, present)
-      case Codecs.StringFsst   => ColumnCodec.encodeStringFsst(values, present)
+      case Codecs.StringFsst   => ColumnCodec.encodeStringFsst(values, present, fsstTable)
       case Codecs.StringDirect => ColumnCodec.encodeStringDirect(values, present)
       case other               => throw new IllegalArgumentException(s"not a string codec: $other")
     }

@@ -244,17 +244,19 @@ object ColumnCodec {
 
   // ---------- STRING: FSST ----------
 
-  def encodeStringFsst(values: Array[String], present: Array[Boolean]): ColumnStreams = {
+  def encodeStringFsst(values: Array[String], present: Array[Boolean],
+                       pretrained: Fsst.SymbolTable = null): ColumnStreams = {
     val nullCount = countNulls(present)
     val corpus = new ByteBuf(1024)
     val rawBytes = new Array[Array[Byte]](values.length)
     var i = 0
+    val needCorpus = pretrained == null
     while (i < values.length) {
       rawBytes(i) = values(i).getBytes(StandardCharsets.UTF_8)
-      corpus.writeBytes(rawBytes(i))
+      if (needCorpus && corpus.length < (1 << 16)) corpus.writeBytes(rawBytes(i))
       i += 1
     }
-    val table = Fsst.train(corpus.toArray)
+    val table = if (pretrained != null) pretrained else Fsst.train(corpus.toArray)
     val data = new ByteBuf(corpus.length / 2 + 64)
     val lengths = new Array[Long](values.length) // compressed byte length per value
     i = 0

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (expression-only). */
+  /** Dot product of two float-array columns (higher-order-function form;
+    * kept as the composable/spec variant — see `cosine` for the hot path).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
@@ -21,8 +23,16 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
 
-  /** Cosine similarity, null-safe for zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity via the native Catalyst expression
+    * (graft.plans.CosineSimilarity): one fused loop with codegen instead
+    * of three interpreted lambda chains. Zero vectors → 0.0.
+    */
+  def cosine(a: Column, b: Column): Column = graft.plans.CosineSimilarity(a, b)
+
+  /** Reference implementation from composable built-ins (used to
+    * cross-check the native expression in tests).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0, lit(0.0)).otherwise(d / nn)

@@ -72,11 +72,12 @@ object TextOps {
     * broadcast inside the returned UDF closure; scoring is a single pass
     * over the document's trigrams. Self-contained — no external models.
     */
-  def langIdUdf(profiles: Map[String, Map[String, Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def langIdUdf(profiles: Map[String, Map[String, Double]],
+                gram: String = "char3"): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
       if (text == null || text.length < 3) null
       else {
-        val counts = trigramCounts(text, cap = 2000)
+        val counts = ngramCounts(text, cap = 2000, gram)
         var bestLang: String = null
         var bestScore = Double.MinValue
         profiles.foreach { case (lang, profile) =>
@@ -88,36 +89,72 @@ object TextOps {
       }
     }
 
-  /** Train per-language trigram log-frequency profiles from (text, lang)
-    * rows. Bounded: `sampleRows` rows, top `topK` trigrams per language.
+  /** Train per-language trigram profiles from (text, lang) rows, with
+    * DISCRIMINATIVE weights: weight(g) = log(p_lang(g) / p_global(g)).
+    * Trigrams every language shares get ~0 weight; only characteristic
+    * ones vote. Bounded: `sampleRows` rows, top `topK` per language by
+    * |weight|·frequency.
     */
   def trainLangProfiles(df: DataFrame, textCol: String, langCol: String,
-                        sampleRows: Int = 5000, topK: Int = 300): Map[String, Map[String, Double]] = {
+                        sampleRows: Int = 5000, topK: Int = 400,
+                        gram: String = "char3"): Map[String, Map[String, Double]] = {
     val sample = df.select(col(textCol), col(langCol))
       .filter(col(textCol).isNotNull && col(langCol).isNotNull)
       .limit(sampleRows).collect()
-    sample.groupBy(_.getString(1)).map { case (lang, rows) =>
+    val global = new scala.collection.mutable.HashMap[String, Long]()
+    val perLang = sample.groupBy(_.getString(1)).map { case (lang, rows) =>
       val counts = new scala.collection.mutable.HashMap[String, Long]()
       rows.foreach { r =>
-        trigramCounts(r.getString(0), cap = 5000).foreach { case (g, c) =>
+        ngramCounts(r.getString(0), cap = 5000, gram).foreach { case (g, c) =>
           counts.update(g, counts.getOrElse(g, 0L) + c)
+          global.update(g, global.getOrElse(g, 0L) + c)
         }
       }
+      lang -> counts
+    }
+    val globalTotal = math.max(1L, global.values.sum)
+    perLang.map { case (lang, counts) =>
       val total = math.max(1L, counts.values.sum)
-      val top = counts.toSeq.sortBy(-_._2).take(topK)
-      lang -> top.map { case (g, c) => g -> (math.log(c.toDouble / total + 1e-9) - math.log(1e-9)) }.toMap
+      val weighted = counts.toSeq.map { case (g, c) =>
+        val pLang = c.toDouble / total
+        val pGlobal = global(g).toDouble / globalTotal
+        (g, math.log(pLang / pGlobal), c)
+      }
+      val top = weighted.sortBy { case (_, w, c) => -math.abs(w) * c }.take(topK)
+      lang -> top.map { case (g, w, _) => g -> w }.toMap
     }
   }
 
-  private def trigramCounts(text: String, cap: Int): Map[String, Int] = {
+  /** `gram` = "char3" (sliding character trigrams — the usual language-ID
+    * unit for natural text) or "word" (whitespace tokens — the right unit
+    * when languages differ by vocabulary rather than orthography).
+    */
+  private def ngramCounts(text: String, cap: Int, gram: String): Map[String, Int] = {
     val t = text.toLowerCase
     val m = new scala.collection.mutable.HashMap[String, Int]()
-    var i = 0
-    val n = math.min(t.length - 2, cap)
-    while (i < n) {
-      val g = t.substring(i, i + 3)
-      m.update(g, m.getOrElse(g, 0) + 1)
-      i += 1
+    if (gram == "word") {
+      var taken = 0
+      var start = 0
+      val len = t.length
+      var i = 0
+      while (i <= len && taken < cap) {
+        if (i == len || Character.isWhitespace(t.charAt(i))) {
+          if (i > start) {
+            m.update(t.substring(start, i), m.getOrElse(t.substring(start, i), 0) + 1)
+            taken += 1
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+    } else {
+      var i = 0
+      val n = math.min(t.length - 2, cap)
+      while (i < n) {
+        val g = t.substring(i, i + 3)
+        m.update(g, m.getOrElse(g, 0) + 1)
+        i += 1
+      }
     }
     m.toMap
   }

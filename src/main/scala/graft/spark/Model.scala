@@ -18,7 +18,8 @@ final case class EncodedChunk(
     raw_bytes: Long,
     encoded_bytes: Long,
     min_val: Option[String],
-    max_val: Option[String])
+    max_val: Option[String],
+    sum_val: Option[Long])
 
 /** Per-partition lineage + metrics row, the manifest/commit-log analogue
   * of the reference's Footer/Metadata tail (OrcWriter.cs:57-98). A

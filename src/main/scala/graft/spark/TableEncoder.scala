@@ -104,6 +104,7 @@ object TableEncoder {
     def add(row: Row, i: Int): Unit
     def encode(): ColumnStreams
     def minMax: (Option[String], Option[String])
+    def sumVal: Option[Long] = None
     def clear(): Unit = { rows = 0; rawBytes = 0L; present.clear() }
   }
 
@@ -111,6 +112,8 @@ object TableEncoder {
     private val values = new ArrayBuffer[Long]()
     private var mn = Long.MaxValue
     private var mx = Long.MinValue
+    private var sum = 0L
+    private var sumOverflowed = false
     def add(row: Row, i: Int): Unit = {
       rows += 1
       if (row.isNullAt(i)) present += false
@@ -120,12 +123,19 @@ object TableEncoder {
         values += v
         if (v < mn) mn = v
         if (v > mx) mx = v
+        val prev = sum
+        sum += v
+        // overflow-checked sum like LongWriterStatistics.cs:9-76
+        if (((prev ^ sum) & (v ^ sum)) < 0) sumOverflowed = true
         rawBytes += 8
       }
     }
     def encode(): ColumnStreams = codecTag match {
       case "timestamp" => ColumnCodec.encodeTimestamp(values.toArray, present.toArray)
       case "date"      => ColumnCodec.encodeDate(values.toArray, present.toArray)
+      case "byte"      =>
+        // reference routes byte columns to ByteRLE (ByteWriter.cs:87-88)
+        ColumnCodec.encodeByte(values.map(_.toByte).toArray, present.toArray)
       case t if t.startsWith("decimal:") =>
         val sc = t.substring(8).toLong
         ColumnCodec.encodeDecimal18(values.toArray, Array.fill(values.length)(sc), present.toArray)
@@ -133,7 +143,12 @@ object TableEncoder {
     }
     def minMax: (Option[String], Option[String]) =
       if (values.isEmpty) (None, None) else (Some(mn.toString), Some(mx.toString))
-    override def clear(): Unit = { super.clear(); values.clear(); mn = Long.MaxValue; mx = Long.MinValue }
+    override def sumVal: Option[Long] =
+      if (values.isEmpty || sumOverflowed) None else Some(sum)
+    override def clear(): Unit = {
+      super.clear(); values.clear(); mn = Long.MaxValue; mx = Long.MinValue
+      sum = 0L; sumOverflowed = false
+    }
   }
 
   private final class BoolColBuf extends ColBuf {
@@ -193,6 +208,10 @@ object TableEncoder {
     private val values = new ArrayBuffer[String]()
     private var mn: String = null
     private var mx: String = null
+    // FSST symbol table trained on the partition's first chunk, reused for
+    // every later chunk of this partition (amortizes training; the table is
+    // still serialized per chunk so decode stays self-contained)
+    private var fsstTable: graft.core.Fsst.SymbolTable = null
     def add(row: Row, i: Int): Unit = {
       rows += 1
       if (row.isNullAt(i)) present += false
@@ -205,12 +224,24 @@ object TableEncoder {
         rawBytes += v.length
       }
     }
-    def encode(): ColumnStreams = CodecSelector.encodeString(codec, values.toArray, present.toArray)
+    def encode(): ColumnStreams = {
+      if (codec == Codecs.StringFsst && fsstTable == null) {
+        val corpus = new graft.core.ByteBuf(1 << 14)
+        var i = 0
+        while (i < values.length && corpus.length < (1 << 16)) {
+          corpus.writeBytes(values(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          i += 1
+        }
+        fsstTable = graft.core.Fsst.train(corpus.toArray)
+      }
+      CodecSelector.encodeString(codec, values.toArray, present.toArray, fsstTable)
+    }
     def minMax: (Option[String], Option[String]) = (Option(mn), Option(mx))
     override def clear(): Unit = { super.clear(); values.clear(); mn = null; mx = null }
   }
 
   private def newBuf(spec: ColumnSpec): ColBuf = spec.logical match {
+    case "long" if spec.narrow == "byte" => new LongColBuf("byte")
     case "long"             => new LongColBuf("long")
     case "timestamp" | "timestamp_ntz" => new LongColBuf("timestamp")
     case "decimal"          => new LongColBuf("decimal:" + spec.narrow.split(',')(1))
@@ -270,7 +301,8 @@ object TableEncoder {
             val (mn, mx) = bufs(i).minMax
             EncodedChunk(pid, chunkId, firstRow, sp(i).name, cs.codec,
               cs.rowCount, cs.nullCount, zstreams,
-              bufs(i).rawBytes, zstreams.valuesIterator.map(_.length.toLong).sum, mn, mx)
+              bufs(i).rawBytes, zstreams.valuesIterator.map(_.length.toLong).sum, mn, mx,
+              bufs(i).sumVal)
           }.toArray
           firstRow += rowsInChunk
           chunkId += 1
@@ -329,6 +361,30 @@ object TableEncoder {
       .toDF()
   }
 
+  /** Stats-pruned decode: skip whole chunks whose [min,max] on `column`
+    * cannot overlap [lo,hi] — the point of the reference's per-stride
+    * statistics (SURVEY §2.5) which its own reader never exploits. At
+    * 100 TB this is the difference between scanning everything and
+    * touching only matching chunks; callers still apply the exact filter
+    * afterwards.
+    */
+  def decodePruned(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                   column: String, lo: Long, hi: Long): DataFrame = {
+    import chunks.sparkSession.implicits._
+    val keep = chunks
+      .filter { c =>
+        c.column == column && (((c.min_val, c.max_val)) match {
+          case (Some(mn), Some(mx)) => !(mx.toLong < lo || mn.toLong > hi)
+          case _                    => true // no stats ⇒ cannot prune
+        })
+      }
+      .select("part_id", "chunk_id")
+    val pruned = chunks
+      .join(org.apache.spark.sql.functions.broadcast(keep), Seq("part_id", "chunk_id"), "left_semi")
+      .as[EncodedChunk]
+    decode(pruned, specs)
+  }
+
   /** Physical (shredded) schema for decode output. */
   def physicalSchema(specs: Array[ColumnSpec]): StructType =
     StructType(specs.map { s =>
@@ -377,6 +433,8 @@ object TableEncoder {
       out
     }
     spec.logical match {
+      case "long" if cs.codec == Codecs.ByteRleC =>
+        val (v, p) = ColumnCodec.decodeByte(cs); merge(v.map(b => java.lang.Long.valueOf(b.toLong)), p)
       case "long"      => val (v, p) = ColumnCodec.decodeLong(cs); merge(v.map(java.lang.Long.valueOf), p)
       case "decimal"   => val (v, _, p) = ColumnCodec.decodeDecimal18(cs); merge(v.map(java.lang.Long.valueOf), p)
       case "timestamp" | "timestamp_ntz" => val (v, p) = ColumnCodec.decodeTimestamp(cs); merge(v.map(java.lang.Long.valueOf), p)

@@ -27,12 +27,22 @@ object WebGen {
     "bg", "lt", "hr", "sr", "sl", "et", "lv", "ms", "bn", "ca")
 
   private val vocab: Array[String] = {
-    // deterministic pseudo-vocabulary; per-lang slices overlap partially
+    // deterministic pseudo-vocabulary; per-lang slices overlap partially.
+    // Syllables drawn from a mixed hash per word — (i*31 + j*17) % 20 style
+    // indexing collapses to only lcm(20,4)=20 distinct strings.
     val syllables = Array("ka", "to", "ne", "ri", "mo", "sa", "lu", "ve", "di", "pa",
       "ze", "qu", "an", "or", "il", "us", "em", "ta", "be", "no")
     (0 until 4000).map { i =>
-      val n = 2 + (i % 4)
-      (0 until n).map(j => syllables((i * 31 + j * 17) % syllables.length)).mkString
+      var h = mix(0x5eedf00dL ^ i.toLong)
+      val n = 3 + (h & 3).toInt
+      val sb = new StringBuilder(n * 2)
+      var j = 0
+      while (j < n) {
+        h = mix(h)
+        sb ++= syllables(((h >>> 17) % syllables.length).toInt)
+        j += 1
+      }
+      sb.toString
     }.toArray
   }
 

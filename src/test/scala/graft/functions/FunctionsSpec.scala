@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Training-data pipeline operator tests: dedup recall on planted
+  * duplicates, similarity correctness (native expression vs composable
+  * reference), text features, multimodal plumbing.
+  */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def embeddings = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("native cosine expression matches the composable HOF version") {
+    val e = embeddings.limit(50)
+    val pairs = e.alias("a").crossJoin(e.alias("b")).limit(500)
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("fast"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("ref"))
+    // HOF zip_with multiplies in FLOAT before the double sum; the native
+    // expression promotes to double first — agree to float precision
+    val bad = pairs.filter(abs(col("fast") - col("ref")) > 1e-5).count()
+    assert(bad == 0, s"$bad pairs diverge between native and HOF cosine")
+  }
+
+  test("brute-force topK: self is most similar when included, ordering sane") {
+    val q = embeddings.filter(col("vec_id") < 3)
+    val res = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", "vec_id", k = 5)
+      .collect()
+    assert(res.length == 15)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cosines = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.sameElements(cosines.sorted.reverse), "ranks not in descending cosine order")
+    }
+  }
+
+  test("minhash near-dup finds planted near-duplicates") {
+    val base = docs.select("doc_id", "text")
+    val planted = base.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val pairs = Dedup.minhashNearDuplicates(base.union(planted), "doc_id", "text",
+      k = 32, bands = 8, shingleSize = 3, threshold = 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).map(i => (i, i + 1000000)).toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.8, s"planted-duplicate recall $recall, found ${found.size} pairs")
+  }
+
+  test("exact dedup keeps exactly one row per duplicated key") {
+    val dup = docs.select("doc_id", "text")
+      .union(docs.select((col("doc_id") + 5000).as("doc_id"), col("text")).limit(50))
+    val deduped = Dedup.exact(dup, "text", "doc_id")
+    assert(deduped.count() == docs.count())
+    assert(deduped.filter(col("doc_id") >= 5000).count() == 0, "kept the wrong copy")
+  }
+
+  test("simhash: near-identical texts get near-identical signatures") {
+    val base = docs.select("doc_id", "text").limit(20)
+    val twisted = base.select((col("doc_id") + 1000).as("doc_id"),
+      concat(col("text"), lit(" extraword")).as("text"))
+    val sigs = Dedup.simhashSignatures(base.union(twisted), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { i =>
+      val hamming = java.lang.Long.bitCount(sigs(i) ^ sigs(i + 1000))
+      assert(hamming <= 8, s"doc $i: hamming $hamming too far for a 1-word change")
+    }
+  }
+
+  test("embedding near-dup recalls planted scaled copies") {
+    val e = embeddings.select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") < 5).select(
+      (col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+    val pairs = Dedup.embeddingNearDuplicates(e.union(planted), "vec_id", "embedding",
+      planes = 8, threshold = 0.98).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(i => assert(found.contains((i, i + 1000000)), s"missed planted pair $i"))
+  }
+
+  test("text features: deterministic and in range") {
+    val feats = docs.select(
+      TextOps.tokenCount(col("text")).as("tokens"),
+      TextOps.punctRatio(col("text")).as("punct"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.fingerprintUdf(col("text")).as("fp")).collect()
+    assert(feats.forall(_.getInt(0) > 0))
+    assert(feats.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
+    assert(feats.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+    assert(feats.map(_.getLong(3)).distinct.length > 400, "fingerprints should mostly be unique")
+  }
+
+  test("language id: high accuracy where text actually differs by language") {
+    // the documents table's lang labels are uncorrelated with its shared
+    // vocabulary, so use WebGen pages whose per-lang vocab slices differ
+    val pages = graft.spark.WebGen.pages(spark, 3000, seed = 5, partitions = 2)
+      .toDF().select(col("text"), col("lang"))
+    val profiles = TextOps.trainLangProfiles(pages, "text", "lang", sampleRows = 2000, gram = "word")
+    val scored = pages.select(col("lang"),
+      TextOps.langIdUdf(profiles, gram = "word")(col("text")).as("pred"))
+    val acc = scored.filter(col("lang") === col("pred")).count().toDouble / scored.count()
+    assert(acc > 0.7, s"langid accuracy $acc")
+  }
+
+  test("multimodal: metadata extraction and feature batching plumbing") {
+    val blobs = docs.limit(100).select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val meta = blobs.select(col("doc_id"), Multimodal.extractMetaUdf(col("blob")).as("m")).collect()
+    assert(meta.length == 100)
+    val feats = Multimodal.extractFeatures(blobs, "doc_id", "blob", dim = 32, batchSize = 16).collect()
+    assert(feats.length == 100)
+    assert(feats.forall(_.feature.length == 32))
+    // deterministic: same blob → same feature
+    val f2 = Multimodal.extractFeatures(blobs, "doc_id", "blob", dim = 32, batchSize = 7).collect()
+    assert(feats.sortBy(_.id).zip(f2.sortBy(_.id)).forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+}
