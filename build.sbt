@@ -24,6 +24,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // throughput-oriented GC: the encode path is allocation-heavy and
+  // ParallelGC beats G1 pause-targeting for batch work at 32 threads
+  "-XX:+UseParallelGC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode Spark = one JVM; the box has 128 GiB and 32 cores — an 8g

@@ -26,6 +26,10 @@ object Fsst {
   final class SymbolTable(val symbols: Array[Array[Byte]]) {
     require(symbols.length <= MaxSymbols, s"${symbols.length} symbols > $MaxSymbols")
 
+    /** Symbols packed little-endian into longs for one-compare matching. */
+    private[Fsst] val symLong: Array[Long] = symbols.map(packLE)
+    private[Fsst] val symLen: Array[Int] = symbols.map(_.length)
+
     /** first-byte → symbol indexes, longest first (greedy longest match). */
     private[Fsst] val byFirstByte: Array[Array[Int]] = {
       val buckets = Array.fill(256)(List.empty[Int])
@@ -46,6 +50,17 @@ object Fsst {
       }
     }
   }
+
+  @inline private def packLE(bytes: Array[Byte]): Long = {
+    var w = 0L
+    var i = bytes.length - 1
+    while (i >= 0) { w = (w << 8) | (bytes(i) & 0xffL); i -= 1 }
+    w
+  }
+
+  /** mask(len) keeps the low len bytes. */
+  private val lenMask: Array[Long] =
+    Array.tabulate(9)(len => if (len == 8) -1L else (1L << (len * 8)) - 1)
 
   object SymbolTable {
     def deserialize(in: BytesIn): SymbolTable = {
@@ -135,22 +150,23 @@ object Fsst {
     table
   }
 
-  /** Longest symbol matching at `pos`, or -1. */
+  /** Longest symbol matching at `pos`, or -1. One long-compare per
+    * candidate: the next ≤8 input bytes are packed once per position and
+    * masked against the packed symbol.
+    */
   private def matchAt(table: SymbolTable, data: Array[Byte], pos: Int): Int = {
     val bucket = table.byFirstByte(data(pos) & 0xff)
+    if (bucket.length == 0) return -1
+    val avail = math.min(MaxSymbolLen, data.length - pos)
+    // pack window little-endian
+    var w = 0L
+    var j = avail - 1
+    while (j >= 0) { w = (w << 8) | (data(pos + j) & 0xffL); j -= 1 }
     var i = 0
     while (i < bucket.length) {
       val idx = bucket(i)
-      val sym = table.symbols(idx)
-      if (pos + sym.length <= data.length) {
-        var j = 1
-        var ok = true
-        while (ok && j < sym.length) {
-          if (data(pos + j) != sym(j)) ok = false
-          j += 1
-        }
-        if (ok) return idx
-      }
+      val len = table.symLen(idx)
+      if (len <= avail && (w & lenMask(len)) == table.symLong(idx)) return idx
       i += 1
     }
     -1
@@ -162,7 +178,7 @@ object Fsst {
       val m = matchAt(table, data, pos)
       if (m >= 0) {
         out.writeByte(m)
-        pos += table.symbols(m).length
+        pos += table.symLen(m)
       } else {
         out.writeByte(EscapeCode)
         out.writeByte(data(pos) & 0xff)

@@ -434,4 +434,47 @@ final class LongBuf(initialCapacity: Int = 64) {
   }
   def apply(i: Int): Long = arr(i)
   def toArray: Array[Long] = java.util.Arrays.copyOf(arr, _len)
+  def clear(): Unit = _len = 0
+}
+
+/** Growable primitive boolean buffer (no boxing). */
+final class BoolBuf(initialCapacity: Int = 64) {
+  private var arr = new Array[Boolean](math.max(initialCapacity, 16))
+  private var _len = 0
+  def length: Int = _len
+  def add(v: Boolean): Unit = {
+    if (_len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(_len) = v
+    _len += 1
+  }
+  def toArray: Array[Boolean] = java.util.Arrays.copyOf(arr, _len)
+  def clear(): Unit = _len = 0
+}
+
+/** Growable primitive double buffer (no boxing). */
+final class DoubleBuf(initialCapacity: Int = 64) {
+  private var arr = new Array[Double](math.max(initialCapacity, 16))
+  private var _len = 0
+  def length: Int = _len
+  def add(v: Double): Unit = {
+    if (_len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(_len) = v
+    _len += 1
+  }
+  def toArray: Array[Double] = java.util.Arrays.copyOf(arr, _len)
+  def clear(): Unit = _len = 0
+}
+
+/** Growable primitive float buffer (no boxing). */
+final class FloatBuf(initialCapacity: Int = 64) {
+  private var arr = new Array[Float](math.max(initialCapacity, 16))
+  private var _len = 0
+  def length: Int = _len
+  def add(v: Float): Unit = {
+    if (_len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(_len) = v
+    _len += 1
+  }
+  def toArray: Array[Float] = java.util.Arrays.copyOf(arr, _len)
+  def clear(): Unit = _len = 0
 }

@@ -22,7 +22,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object TableEncoder {
 
-  final val DefaultStrideRows = 10000 // reference stride (WriterConfiguration.cs:29)
+  /** A chunk plays the reference's STRIPE role (64 MiB,
+    * WriterConfiguration.cs:19), not its 10k-row stride: zlib framing,
+    * dictionaries, and FSST tables amortize across the whole chunk, so
+    * small chunks pay their fixed costs many times over. The byte cap is
+    * what bounds executor memory; the row cap is a backstop for tables
+    * with very narrow rows.
+    */
+  final val DefaultStrideRows = 1 << 20
   final val DefaultChunkTargetBytes = 32L * 1024 * 1024 // bounded executor memory per buffer
 
   // ---------- shredding: Spark types → codec-ready physical columns ----------
@@ -100,7 +107,7 @@ object TableEncoder {
   private sealed trait ColBuf {
     var rows = 0
     var rawBytes = 0L
-    val present = new ArrayBuffer[Boolean]()
+    val present = new graft.core.BoolBuf(1024) // primitive: no boxing in the hot path
     def add(row: Row, i: Int): Unit
     def encode(): ColumnStreams
     def minMax: (Option[String], Option[String])
@@ -109,18 +116,18 @@ object TableEncoder {
   }
 
   private final class LongColBuf(codecTag: String) extends ColBuf {
-    private val values = new ArrayBuffer[Long]()
+    private val values = new graft.core.LongBuf(1024)
     private var mn = Long.MaxValue
     private var mx = Long.MinValue
     private var sum = 0L
     private var sumOverflowed = false
     def add(row: Row, i: Int): Unit = {
       rows += 1
-      if (row.isNullAt(i)) present += false
+      if (row.isNullAt(i)) present.add(false)
       else {
-        present += true
+        present.add(true)
         val v = row.getLong(i)
-        values += v
+        values.add(v)
         if (v < mn) mn = v
         if (v > mx) mx = v
         val prev = sum
@@ -135,16 +142,20 @@ object TableEncoder {
       case "date"      => ColumnCodec.encodeDate(values.toArray, present.toArray)
       case "byte"      =>
         // reference routes byte columns to ByteRLE (ByteWriter.cs:87-88)
-        ColumnCodec.encodeByte(values.map(_.toByte).toArray, present.toArray)
+        val longs = values.toArray
+        val bytes = new Array[Byte](longs.length)
+        var bi = 0
+        while (bi < longs.length) { bytes(bi) = longs(bi).toByte; bi += 1 }
+        ColumnCodec.encodeByte(bytes, present.toArray)
       case t if t.startsWith("decimal:") =>
         val sc = t.substring(8).toLong
         ColumnCodec.encodeDecimal18(values.toArray, Array.fill(values.length)(sc), present.toArray)
       case _           => ColumnCodec.encodeLong(values.toArray, present.toArray)
     }
     def minMax: (Option[String], Option[String]) =
-      if (values.isEmpty) (None, None) else (Some(mn.toString), Some(mx.toString))
+      if (values.length == 0) (None, None) else (Some(mn.toString), Some(mx.toString))
     override def sumVal: Option[Long] =
-      if (values.isEmpty || sumOverflowed) None else Some(sum)
+      if (values.length == 0 || sumOverflowed) None else Some(sum)
     override def clear(): Unit = {
       super.clear(); values.clear(); mn = Long.MaxValue; mx = Long.MinValue
       sum = 0L; sumOverflowed = false
@@ -152,11 +163,11 @@ object TableEncoder {
   }
 
   private final class BoolColBuf extends ColBuf {
-    private val values = new ArrayBuffer[Boolean]()
+    private val values = new graft.core.BoolBuf(1024)
     def add(row: Row, i: Int): Unit = {
       rows += 1
-      if (row.isNullAt(i)) present += false
-      else { present += true; values += row.getBoolean(i); rawBytes += 1 }
+      if (row.isNullAt(i)) present.add(false)
+      else { present.add(true); values.add(row.getBoolean(i)); rawBytes += 1 }
     }
     def encode(): ColumnStreams = ColumnCodec.encodeBool(values.toArray, present.toArray)
     def minMax: (Option[String], Option[String]) = (None, None)
@@ -164,11 +175,11 @@ object TableEncoder {
   }
 
   private final class DoubleColBuf extends ColBuf {
-    private val values = new ArrayBuffer[Double]()
+    private val values = new graft.core.DoubleBuf(1024)
     def add(row: Row, i: Int): Unit = {
       rows += 1
-      if (row.isNullAt(i)) present += false
-      else { present += true; values += row.getDouble(i); rawBytes += 8 }
+      if (row.isNullAt(i)) present.add(false)
+      else { present.add(true); values.add(row.getDouble(i)); rawBytes += 8 }
     }
     def encode(): ColumnStreams = ColumnCodec.encodeDouble(values.toArray, present.toArray)
     def minMax: (Option[String], Option[String]) = (None, None)
@@ -176,11 +187,11 @@ object TableEncoder {
   }
 
   private final class FloatColBuf extends ColBuf {
-    private val values = new ArrayBuffer[Float]()
+    private val values = new graft.core.FloatBuf(1024)
     def add(row: Row, i: Int): Unit = {
       rows += 1
-      if (row.isNullAt(i)) present += false
-      else { present += true; values += row.getFloat(i); rawBytes += 4 }
+      if (row.isNullAt(i)) present.add(false)
+      else { present.add(true); values.add(row.getFloat(i)); rawBytes += 4 }
     }
     def encode(): ColumnStreams = ColumnCodec.encodeFloat(values.toArray, present.toArray)
     def minMax: (Option[String], Option[String]) = (None, None)
@@ -191,9 +202,9 @@ object TableEncoder {
     private val values = new ArrayBuffer[Array[Byte]]()
     def add(row: Row, i: Int): Unit = {
       rows += 1
-      if (row.isNullAt(i)) present += false
+      if (row.isNullAt(i)) present.add(false)
       else {
-        present += true
+        present.add(true)
         val v = row.getAs[Array[Byte]](i)
         values += v
         rawBytes += v.length
@@ -214,9 +225,9 @@ object TableEncoder {
     private var fsstTable: graft.core.Fsst.SymbolTable = null
     def add(row: Row, i: Int): Unit = {
       rows += 1
-      if (row.isNullAt(i)) present += false
+      if (row.isNullAt(i)) present.add(false)
       else {
-        present += true
+        present.add(true)
         val v = row.getString(i)
         values += v
         if (mn == null || v < mn) mn = v
