@@ -195,6 +195,32 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.format"), col("meta.width"), col("meta.height"),
           col("meta.frames"), col("meta.bytes"))
         .orderBy("doc_id")),
+    // Structured Streaming surface driven to completion: file-source
+    // stream over events, event-time daily windows with a watermark,
+    // complete-mode memory sink. Equals the batch GROUP BY (all rows are
+    // on time when replaying a static table), so it is oracle-checkable.
+    "q_stream_window" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // glob, not a bare file path: the file stream source requires a
+      // directory or pattern (test tables are single parquet files)
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      val agg = src
+        // watermarks require TIMESTAMP; the table stores NTZ (session tz
+        // is UTC so the cast is value-preserving, reversed on output)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("total"))
+        .select(col("window.start").cast("timestamp_ntz").as("day"),
+          col("event_type"), col("n"), col("total"))
+      val q = agg.writeStream.format("memory").queryName("q_stream_window")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_window").orderBy("day", "event_type")
+    }),
     "q_encode_metrics" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val codecs = EncodeJob.pinStringCodecs(docs, 5000)
@@ -259,6 +285,10 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "q_lang_counts" ->
-      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    "q_stream_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        | count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
   )
 }

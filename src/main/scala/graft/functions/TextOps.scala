@@ -164,26 +164,27 @@ object TextOps {
     * cheap first-pass dedup key.
     */
   val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction = udf { (text: String) =>
-    if (text == null) null
-    else {
-      var h = 1469598103934665603L // FNV offset basis
-      var i = 0
-      var lastWasSpace = true
-      while (i < text.length) {
-        val c = text.charAt(i)
-        val isSpace = Character.isWhitespace(c)
-        if (!isSpace) {
-          h ^= c.toLong
-          h *= 1099511628211L
-          lastWasSpace = false
-        } else if (!lastWasSpace) {
-          h ^= ' '.toLong
-          h *= 1099511628211L
-          lastWasSpace = true
-        }
-        i += 1
+    if (text == null) null else java.lang.Long.valueOf(fingerprint(text))
+  }
+
+  def fingerprint(text: String): Long = {
+    var h = 1469598103934665603L // FNV offset basis
+    var i = 0
+    var lastWasSpace = true
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val isSpace = Character.isWhitespace(c)
+      if (!isSpace) {
+        h ^= c.toLong
+        h *= 1099511628211L
+        lastWasSpace = false
+      } else if (!lastWasSpace) {
+        h ^= ' '.toLong
+        h *= 1099511628211L
+        lastWasSpace = true
       }
-      java.lang.Long.valueOf(h)
+      i += 1
     }
+    h
   }
 }

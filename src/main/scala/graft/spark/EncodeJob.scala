@@ -94,6 +94,51 @@ object EncodeJob {
       k -> v
     }.filter { case (_, v) => v.startsWith("STRING_") }.toMap
 
+  /** Encode one complete DataFrame as manifest batch `batchId` — the unit
+    * a Structured Streaming micro-batch maps onto (StreamingEncode). Codec
+    * decisions come from the existing manifest's lineage when present
+    * (the stream pins them on batch 0), else from a fresh sample. part_ids
+    * are offset by batchId × numPartitions so chunks from different
+    * batches never collide in decode's (part_id, chunk_id) grouping.
+    */
+  def runBatch(df: DataFrame, cfg: Config, batchId: Int,
+               existingManifest: Option[DataFrame]): Result = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val stringCodecs: Map[String, String] = existingManifest
+      .flatMap(m => m.select("codecs").limit(1).as[String].collect().headOption)
+      .map(parseLineage)
+      .getOrElse(pinStringCodecs(df, cfg.sampleRows))
+    val specs = TableEncoder.columnSpecs(df.schema, stringCodecs)
+    val codecLineage = lineage(specs)
+
+    val shredded = TableEncoder.shred(partitionWithSalt(df, cfg), specs)
+    val offset = batchId * cfg.numPartitions
+    val t0 = System.nanoTime()
+    val chunks = TableEncoder.encode(shredded, specs, cfg.strideRows,
+      cfg.chunkTargetBytes, partIdOffset = offset)
+    chunks.write.mode(SaveMode.Append).parquet(chunkDir(cfg.outDir))
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+
+    val summary = spark.read.parquet(chunkDir(cfg.outDir))
+      .select($"part_id", $"row_count", $"raw_bytes", $"encoded_bytes")
+      .filter($"part_id" >= offset && $"part_id" < offset + cfg.numPartitions)
+      .groupBy($"part_id")
+      .agg(count(lit(1)).as("chunks"), sum($"row_count").as("rows"),
+        sum($"raw_bytes").as("raw"), sum($"encoded_bytes").as("enc"))
+      .collect()
+    val entries = summary.map { r =>
+      ManifestEntry(r.getInt(0), batchId, r.getLong(1).toInt,
+        r.getLong(2) / math.max(1, specs.length),
+        r.getLong(3), r.getLong(4), wallMs, codecLineage)
+    }
+    spark.createDataset(entries.toIndexedSeq).write.mode(SaveMode.Append)
+      .parquet(manifestDir(cfg.outDir))
+
+    Result(specs, chunkDir(cfg.outDir), manifestDir(cfg.outDir), 1, 0)
+  }
+
   /** Full run with resume: batches whose manifest rows are committed are
     * skipped, and the recorded codec decisions are reused.
     */
@@ -160,6 +205,19 @@ object EncodeJob {
     }
 
     Result(specs, chunkDir(cfg.outDir), manifestDir(cfg.outDir), encoded, skipped)
+  }
+
+  /** Reconstruct column specs from the manifest's codec lineage — how a
+    * reader that only has the output directory (plus the logical schema)
+    * recovers the pinned decisions needed to decode.
+    */
+  def specsFromManifest(spark: SparkSession, outDir: String,
+                        schema: org.apache.spark.sql.types.StructType): Array[ColumnSpec] = {
+    import spark.implicits._
+    val codecs = spark.read.parquet(manifestDir(outDir))
+      .select("codecs").limit(1).as[String].collect().headOption
+      .map(parseLineage).getOrElse(Map.empty)
+    TableEncoder.columnSpecs(schema, codecs)
   }
 
   /** Read encoded chunks back into the original table shape. */

@@ -287,7 +287,8 @@ object TableEncoder {
     */
   def encode(shredded: DataFrame, specs: Array[ColumnSpec],
              strideRows: Int = DefaultStrideRows,
-             chunkTargetBytes: Long = DefaultChunkTargetBytes): Dataset[EncodedChunk] = {
+             chunkTargetBytes: Long = DefaultChunkTargetBytes,
+             partIdOffset: Int = 0): Dataset[EncodedChunk] = {
     val spark = shredded.sparkSession
     import spark.implicits._
     val specsB = spark.sparkContext.broadcast(specs)
@@ -329,7 +330,7 @@ object TableEncoder {
         private def fill(): Unit = {
           while (!pending.hasNext && rows.hasNext) {
             val row = rows.next()
-            if (pid < 0) pid = row.getInt(pidIdx)
+            if (pid < 0) pid = row.getInt(pidIdx) + partIdOffset
             var i = 0
             bufferedBytes = 0L
             while (i < sp.length) {

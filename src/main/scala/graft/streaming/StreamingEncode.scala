@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.spark.{EncodeJob, TableEncoder}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Continuous ingestion for the encode engine — the Structured Streaming
+  * face of EncodeJob. The reference is strictly batch (no streaming
+  * runtime anywhere in /root/reference, SURVEY.md §2.7); this module is
+  * the north-rule "resumable, checkpointed" requirement expressed in
+  * Spark's native streaming model instead of hand-rolled loops:
+  *
+  *  - `start` drives micro-batches through the SAME encode path as the
+  *    batch job (`foreachBatch`), with two layers of exactly-once:
+  *    Structured Streaming's checkpoint decides which source offsets a
+  *    batch covers, and our manifest makes the sink idempotent — a batch
+  *    replayed after a crash sees its batch_id already committed and
+  *    skips. Codec decisions are pinned on the FIRST batch and reused
+  *    verbatim for the life of the stream (recorded in manifest lineage),
+  *    so a table encoded over weeks of ingestion stays uniformly decodable.
+  *
+  *  - `ingestMetrics` is an event-time windowed aggregation with a
+  *    watermark: per (window, lang) document counts and byte volumes.
+  *    Late pages beyond the watermark are dropped and state is GC'd, so
+  *    the aggregation runs forever in bounded memory on a real cluster.
+  *
+  *  - `dropRecrawls` is `flatMapGroupsWithState` keyed on url: only the
+  *    first sighting of each (url, content-hash) passes, with an idle
+  *    timeout so state for dead urls expires. This is streaming exact
+  *    dedup — the crawl-frontier half of the batch Dedup operators.
+  */
+object StreamingEncode {
+
+  /** Start continuous encode of a streaming DataFrame with the input_hint
+    * page schema. `numPartitions`/`keyColumn` mirror EncodeJob.Config;
+    * each micro-batch is salted and encoded exactly like one batch run.
+    */
+  def start(pages: DataFrame, outDir: String, checkpointDir: String,
+            numPartitions: Int, keyColumn: Option[String] = Some("lang"),
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(pages.isStreaming, "StreamingEncode.start needs a streaming DataFrame")
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        encodeBatch(batch, batchId, outDir, numPartitions, keyColumn)
+      }
+      .start()
+  }
+
+  /** One micro-batch through the batch encode path, idempotent on
+    * batch_id. Public so tests (and backfills) can drive it directly.
+    */
+  def encodeBatch(batch: DataFrame, batchId: Long, outDir: String,
+                  numPartitions: Int, keyColumn: Option[String]): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val manifestPath = new org.apache.hadoop.fs.Path(EncodeJob.manifestDir(outDir))
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = if (fs.exists(manifestPath)) Some(spark.read.parquet(manifestPath.toString)) else None
+
+    // sink-side idempotence: a replayed batch is already committed — skip
+    val alreadyCommitted = existing.exists(
+      _.filter(col("batch_id") === batchId.toInt).limit(1).count() > 0)
+    if (alreadyCommitted) return
+
+    // pin codecs once per stream: batch 0 samples, later batches reuse
+    // the lineage recorded in the manifest
+    val cfg = EncodeJob.Config(outDir, numPartitions, keyColumn)
+    EncodeJob.runBatch(batch, cfg, batchId.toInt, existing)
+  }
+
+  /** Per-(event-time window, lang) ingestion metrics with a watermark —
+    * count, raw text/html bytes — for monitoring a continuous encode.
+    * OutputMode.Append emits each window once it is final.
+    */
+  def ingestMetrics(pages: DataFrame, windowLen: String = "1 minute",
+                    watermarkDelay: String = "2 minutes"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermarkDelay)
+      .groupBy(window(col("warc_ts"), windowLen), col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(length(col("text")).cast("long") + octet_length(col("html")).cast("long")).as("raw_bytes"))
+      .select(col("window.start").as("window_start"), col("lang"), col("docs"), col("raw_bytes"))
+
+  final case class Sighting(url: String, textHash: Long)
+
+  /** Streaming exact-dedup on (url, xxhash64(text)): re-crawls with
+    * unchanged content are dropped; changed content passes. State per url
+    * is one long and expires after `stateTtl` of inactivity, so the
+    * operator holds O(active urls) not O(all urls ever seen).
+    */
+  def dropRecrawls[T <: Product](pages: Dataset[graft.spark.Page],
+                                 stateTtl: String = "30 minutes"): Dataset[graft.spark.Page] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (url: String, rows: Iterator[graft.spark.Page], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val lastHash = if (state.exists) state.get else Long.MinValue
+            var h = lastHash
+            val out = rows.filter { p =>
+              val ph = graft.functions.TextOps.fingerprint(if (p.text == null) "" else p.text)
+              val fresh = ph != h
+              if (fresh) h = ph
+              fresh
+            }.toVector
+            state.update(h)
+            state.setTimeoutDuration(stateTtl)
+            out.iterator
+          }
+        })
+  }
+}
