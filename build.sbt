@@ -24,12 +24,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
-  // throughput-oriented GC: the encode path is allocation-heavy and
-  // ParallelGC beats G1 pause-targeting for batch work at 32 threads
-  "-XX:+UseParallelGC",
+  // GC choice is measured, not assumed (see BENCH.md): override with
+  // SPARK_GRAFT_GC, e.g. UseG1GC / UseParallelGC
+  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode Spark = one JVM; the box has 128 GiB and 32 cores — an 8g
   // heap makes local[32] GC-bound and inverts scaling measurements
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GCOPTS").map(_.split(' ').toSeq).getOrElse(Seq.empty) ++
+  sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:$f").toSeq

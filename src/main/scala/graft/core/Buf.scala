@@ -36,6 +36,17 @@ final class ByteBuf(initialCapacity: Int = 256) {
 
   def reset(): Unit = _len = 0
 
+  /** Pre-size for `extra` more bytes so a hot loop can write straight
+    * into unsafeArray and commit with unsafeSetLength — no per-byte
+    * bounds management.
+    */
+  def reserve(extra: Int): Unit = ensure(extra)
+
+  def unsafeSetLength(n: Int): Unit = {
+    require(n >= 0 && n <= arr.length)
+    _len = n
+  }
+
   /** Unsafe view for zero-copy reads; valid bytes are [0, length). */
   def unsafeArray: Array[Byte] = arr
 }

@@ -30,16 +30,44 @@ object Fsst {
     private[Fsst] val symLong: Array[Long] = symbols.map(packLE)
     private[Fsst] val symLen: Array[Int] = symbols.map(_.length)
 
-    /** first-byte → symbol indexes, longest first (greedy longest match). */
-    private[Fsst] val byFirstByte: Array[Array[Int]] = {
-      val buckets = Array.fill(256)(List.empty[Int])
+    /** The paper's constant-time match structure (FSST §3.2): symbols of
+      * len ≥ 3 live in a hash table keyed on their first 3 bytes, ONE
+      * candidate per slot (collisions keep the higher-gain symbol — the
+      * trainer emits symbols gain-descending, so first insert wins);
+      * 2-byte symbols index a 64 K short-code array; 1-byte symbols a
+      * 256-entry array. A match probe is then one hash + at most three
+      * array reads, instead of a scan over every symbol sharing the
+      * first byte.
+      */
+    private[Fsst] val longTable: Array[Int] = {
+      val t = Array.fill(HashSlots)(-1)
       var i = 0
       while (i < symbols.length) {
-        val fb = symbols(i)(0) & 0xff
-        buckets(fb) = i :: buckets(fb)
+        if (symLen(i) >= 3) {
+          val h = hash3(symLong(i) & 0xffffffL)
+          if (t(h) < 0) t(h) = i
+        }
         i += 1
       }
-      buckets.map(_.sortBy(idx => -symbols(idx).length).toArray)
+      t
+    }
+    private[Fsst] val shortCodes: Array[Int] = {
+      val t = Array.fill(1 << 16)(-1)
+      var i = 0
+      while (i < symbols.length) {
+        if (symLen(i) == 2 && t(symLong(i).toInt) < 0) t(symLong(i).toInt) = i
+        i += 1
+      }
+      t
+    }
+    private[Fsst] val byteCodes: Array[Int] = {
+      val t = Array.fill(256)(-1)
+      var i = 0
+      while (i < symbols.length) {
+        if (symLen(i) == 1 && t(symLong(i).toInt) < 0) t(symLong(i).toInt) = i
+        i += 1
+      }
+      t
     }
 
     def serialize(out: ByteBuf): Unit = {
@@ -50,6 +78,14 @@ object Fsst {
       }
     }
   }
+
+  private final val HashBits = 12
+  private final val HashSlots = 1 << HashBits
+  @inline private def hash3(first3: Long): Int =
+    ((first3 * 0x9E3779B97F4A7C15L) >>> (64 - HashBits)).toInt
+
+  private val LongView = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+    classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
 
   @inline private def packLE(bytes: Array[Byte]): Long = {
     var w = 0L
@@ -150,41 +186,71 @@ object Fsst {
     table
   }
 
-  /** Longest symbol matching at `pos`, or -1. One long-compare per
-    * candidate: the next ≤8 input bytes are packed once per position and
-    * masked against the packed symbol.
+  /** Best symbol matching at `pos`, or -1. Longest-class first: the
+    * (single) len≥3 hash candidate, then the 2-byte short code, then the
+    * 1-byte code. The 8-byte window is one VarHandle load away from the
+    * array tail, a short byte-pack loop at it.
     */
   private def matchAt(table: SymbolTable, data: Array[Byte], pos: Int): Int = {
-    val bucket = table.byFirstByte(data(pos) & 0xff)
-    if (bucket.length == 0) return -1
     val avail = math.min(MaxSymbolLen, data.length - pos)
-    // pack window little-endian
     var w = 0L
-    var j = avail - 1
-    while (j >= 0) { w = (w << 8) | (data(pos + j) & 0xffL); j -= 1 }
-    var i = 0
-    while (i < bucket.length) {
-      val idx = bucket(i)
-      val len = table.symLen(idx)
-      if (len <= avail && (w & lenMask(len)) == table.symLong(idx)) return idx
-      i += 1
+    if (data.length - pos >= 8) w = LongView.get(data, pos).asInstanceOf[Long]
+    else {
+      var j = avail - 1
+      while (j >= 0) { w = (w << 8) | (data(pos + j) & 0xffL); j -= 1 }
     }
-    -1
+    if (avail >= 3) {
+      val idx = table.longTable(hash3(w & 0xffffffL))
+      if (idx >= 0) {
+        val len = table.symLen(idx)
+        if (len <= avail && (w & lenMask(len)) == table.symLong(idx)) return idx
+      }
+    }
+    if (avail >= 2) {
+      val idx = table.shortCodes((w & 0xffffL).toInt)
+      if (idx >= 0) return idx
+    }
+    table.byteCodes((w & 0xffL).toInt)
   }
 
   def compress(table: SymbolTable, data: Array[Byte], out: ByteBuf): Unit = {
+    // worst case 2 bytes out per byte in (all escapes) — reserve once,
+    // write raw, commit at the end
+    out.reserve(2 * data.length + 8)
+    val dst = out.unsafeArray
+    var o = out.length
     var pos = 0
-    while (pos < data.length) {
-      val m = matchAt(table, data, pos)
-      if (m >= 0) {
-        out.writeByte(m)
-        pos += table.symLen(m)
+    val fastEnd = data.length - MaxSymbolLen // full 8-byte loads safe through here
+    val longTable = table.longTable
+    val shortCodes = table.shortCodes
+    val byteCodes = table.byteCodes
+    val symLen = table.symLen
+    val symLong = table.symLong
+    while (pos <= fastEnd) {
+      val w = LongView.get(data, pos).asInstanceOf[Long]
+      val idx = longTable(hash3(w & 0xffffffL))
+      if (idx >= 0 && (w & lenMask(symLen(idx))) == symLong(idx)) {
+        dst(o) = idx.toByte; o += 1; pos += symLen(idx)
       } else {
-        out.writeByte(EscapeCode)
-        out.writeByte(data(pos) & 0xff)
+        val s = shortCodes((w & 0xffffL).toInt)
+        if (s >= 0) { dst(o) = s.toByte; o += 1; pos += 2 }
+        else {
+          val b = byteCodes((w & 0xffL).toInt)
+          if (b >= 0) { dst(o) = b.toByte; o += 1 }
+          else { dst(o) = EscapeCode.toByte; dst(o + 1) = (w & 0xff).toByte; o += 2 }
+          pos += 1
+        }
+      }
+    }
+    while (pos < data.length) { // tail: windows shorter than 8 bytes
+      val m = matchAt(table, data, pos)
+      if (m >= 0) { dst(o) = m.toByte; o += 1; pos += symLen(m) }
+      else {
+        dst(o) = EscapeCode.toByte; dst(o + 1) = data(pos); o += 2
         pos += 1
       }
     }
+    out.unsafeSetLength(o)
   }
 
   def decompress(table: SymbolTable, data: Array[Byte], from: Int, until: Int, out: ByteBuf): Unit = {

@@ -27,7 +27,8 @@ object ScalingProbe {
       // no cache: generation is deterministic splittable CPU work included
       // in the timed region at every level — identical total work, no GC
       // pressure from a multi-GB row cache
-      val pages = WebGen.pages(spark, rows, seed = 42, partitions = cpus).toDF()
+      val waves = args.lift(2).map(_.toInt).getOrElse(3)
+      val pages = WebGen.pages(spark, rows, seed = 42, partitions = cpus * waves).toDF()
       val codecs = EncodeJob.pinStringCodecs(pages, 5000)
       val specs = TableEncoder.columnSpecs(pages.schema, codecs)
       val shredded = TableEncoder.shred(pages, specs)
