@@ -24,13 +24,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
-  // GC choice is measured, not assumed (see BENCH.md): override with
-  // SPARK_GRAFT_GC, e.g. UseG1GC / UseParallelGC
+  // GC settings are MEASURED on this box (see BENCH.md): lazily-committed
+  // heap pages fault in DURING stop-the-world phases on this VM, which
+  // stretched young pauses to 10-30s and inverted 8→32-thread scaling
+  // (81s total pause on a 1M-row encode). Fixed fully-pre-touched heap +
+  // bounded young gen cuts that to <4s total / 0.35s max.
   s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}",
+  "-XX:+AlwaysPreTouch",
+  "-Xmn8g",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode Spark = one JVM; the box has 128 GiB and 32 cores — an 8g
   // heap makes local[32] GC-bound and inverts scaling measurements
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++ sys.env.get("SPARK_GRAFT_GCOPTS").map(_.split(' ').toSeq).getOrElse(Seq.empty) ++
   sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:$f").toSeq

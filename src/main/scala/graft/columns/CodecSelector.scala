@@ -93,4 +93,14 @@ object CodecSelector {
       case Codecs.StringDirect => ColumnCodec.encodeStringDirect(values, present)
       case other               => throw new IllegalArgumentException(s"not a string codec: $other")
     }
+
+  /** Byte-oriented variant for the encode hot path (values are UTF-8). */
+  def encodeStrBytes(codec: String, values: Array[Array[Byte]], present: Array[Boolean],
+                     fsstTable: graft.core.Fsst.SymbolTable = null): ColumnStreams =
+    codec match {
+      case Codecs.StringDictV2 => ColumnCodec.encodeStrBytesDict(values, present)
+      case Codecs.StringFsst   => ColumnCodec.encodeStrBytesFsst(values, present, fsstTable)
+      case Codecs.StringDirect => ColumnCodec.encodeStrBytesDirect(values, present)
+      case other               => throw new IllegalArgumentException(s"not a string codec: $other")
+    }
 }

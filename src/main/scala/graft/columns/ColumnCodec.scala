@@ -197,16 +197,23 @@ object ColumnCodec {
   }
 
   // ---------- STRING: direct ----------
+  // Byte-oriented core: the encode hot path carries UTF-8 bytes
+  // end-to-end (TableEncoder shreds string columns to binary inside the
+  // codegen'd projection), so no UTF-16 String ever materializes per
+  // value. The Array[String] overloads are thin converters kept for the
+  // column-level test surface.
 
-  def encodeStringDirect(values: Array[String], present: Array[Boolean]): ColumnStreams = {
+  def encodeStrBytesDirect(values: Array[Array[Byte]], present: Array[Boolean]): ColumnStreams = {
     val nullCount = countNulls(present)
-    val data = new ByteBuf(1024)
-    val lengths = new Array[Long](values.length)
+    var total = 0L
     var i = 0
+    while (i < values.length) { total += values(i).length; i += 1 }
+    val data = new ByteBuf(math.min(total, Int.MaxValue / 2).toInt + 64)
+    val lengths = new Array[Long](values.length)
+    i = 0
     while (i < values.length) {
-      val bytes = values(i).getBytes(StandardCharsets.UTF_8)
-      data.writeBytes(bytes)
-      lengths(i) = bytes.length
+      data.writeBytes(values(i))
+      lengths(i) = values(i).length
       i += 1
     }
     val lengthBuf = new ByteBuf(values.length)
@@ -215,7 +222,17 @@ object ColumnCodec {
       withPresent(Map(Streams.Data -> data.toArray, Streams.Length -> lengthBuf.toArray), present, nullCount))
   }
 
+  def encodeStringDirect(values: Array[String], present: Array[Boolean]): ColumnStreams =
+    encodeStrBytesDirect(values.map(_.getBytes(StandardCharsets.UTF_8)), present)
+
   // ---------- STRING: sorted dictionary ----------
+
+  /** Dict columns are low-cardinality by selection, so the byte→String
+    * conversion here is per-VALUE cheap and keeps the reference's
+    * UTF-16-ordinal dictionary sort exactly (StringWriter.cs:187).
+    */
+  def encodeStrBytesDict(values: Array[Array[Byte]], present: Array[Boolean]): ColumnStreams =
+    encodeStringDict(values.map(new String(_, StandardCharsets.UTF_8)), present)
 
   def encodeStringDict(values: Array[String], present: Array[Boolean]): ColumnStreams = {
     val nullCount = countNulls(present)
@@ -244,29 +261,29 @@ object ColumnCodec {
 
   // ---------- STRING: FSST ----------
 
-  def encodeStringFsst(values: Array[String], present: Array[Boolean],
-                       pretrained: Fsst.SymbolTable = null): ColumnStreams = {
+  def encodeStrBytesFsst(rawBytes: Array[Array[Byte]], present: Array[Boolean],
+                         pretrained: Fsst.SymbolTable = null): ColumnStreams = {
     val nullCount = countNulls(present)
-    val corpus = new ByteBuf(1024)
-    val rawBytes = new Array[Array[Byte]](values.length)
+    val table =
+      if (pretrained != null) pretrained
+      else {
+        val corpus = new ByteBuf(1 << 14)
+        var i = 0
+        while (i < rawBytes.length && corpus.length < (1 << 16)) {
+          corpus.writeBytes(rawBytes(i)); i += 1
+        }
+        Fsst.train(corpus.toArray)
+      }
+    val data = new ByteBuf(4096)
+    val lengths = new Array[Long](rawBytes.length) // compressed byte length per value
     var i = 0
-    val needCorpus = pretrained == null
-    while (i < values.length) {
-      rawBytes(i) = values(i).getBytes(StandardCharsets.UTF_8)
-      if (needCorpus && corpus.length < (1 << 16)) corpus.writeBytes(rawBytes(i))
-      i += 1
-    }
-    val table = if (pretrained != null) pretrained else Fsst.train(corpus.toArray)
-    val data = new ByteBuf(corpus.length / 2 + 64)
-    val lengths = new Array[Long](values.length) // compressed byte length per value
-    i = 0
-    while (i < values.length) {
+    while (i < rawBytes.length) {
       val before = data.length
       Fsst.compress(table, rawBytes(i), data)
       lengths(i) = data.length - before
       i += 1
     }
-    val lengthBuf = new ByteBuf(values.length)
+    val lengthBuf = new ByteBuf(rawBytes.length)
     RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = false)
     val tableBuf = new ByteBuf(1024)
     table.serialize(tableBuf)
@@ -275,6 +292,57 @@ object ColumnCodec {
         Streams.Data -> data.toArray,
         Streams.Length -> lengthBuf.toArray,
         Streams.SymbolTable -> tableBuf.toArray), present, nullCount))
+  }
+
+  def encodeStringFsst(values: Array[String], present: Array[Boolean],
+                       pretrained: Fsst.SymbolTable = null): ColumnStreams =
+    encodeStrBytesFsst(values.map(_.getBytes(StandardCharsets.UTF_8)), present, pretrained)
+
+  /** Byte-oriented string decode (the Spark decode path; strings travel
+    * as binary through the physical schema and are cast back in unshred).
+    */
+  def decodeStrBytes(cs: ColumnStreams): (Array[Array[Byte]], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val n = cs.rowCount - cs.nullCount
+    val values: Array[Array[Byte]] = cs.codec match {
+      case Codecs.StringDirect =>
+        val lengths = RleV2Reader.read(new BytesIn(cs.streams(Streams.Length)), signed = false, n)
+        val data = cs.streams(Streams.Data)
+        val out = new Array[Array[Byte]](n)
+        var off = 0
+        var i = 0
+        while (i < n) {
+          val len = lengths(i).toInt
+          out(i) = java.util.Arrays.copyOfRange(data, off, off + len)
+          off += len
+          i += 1
+        }
+        out
+      case Codecs.StringDictV2 =>
+        val lookup = RleV2Reader.read(new BytesIn(cs.streams(Streams.Data)), signed = false, n)
+        val lengths = RleV2Reader.readAll(new BytesIn(cs.streams(Streams.Length)), signed = false)
+        val dict = StringDict.deserialize(cs.streams(Streams.DictionaryData), lengths)
+          .map(_.getBytes(StandardCharsets.UTF_8))
+        lookup.map(id => dict(id.toInt)) // aliased entries: callers treat values as read-only
+      case Codecs.StringFsst =>
+        val table = Fsst.SymbolTable.deserialize(new BytesIn(cs.streams(Streams.SymbolTable)))
+        val lengths = RleV2Reader.read(new BytesIn(cs.streams(Streams.Length)), signed = false, n)
+        val data = cs.streams(Streams.Data)
+        val out = new Array[Array[Byte]](n)
+        var off = 0
+        var i = 0
+        while (i < n) {
+          val len = lengths(i).toInt
+          val buf = new ByteBuf(len * 3 + 8)
+          Fsst.decompress(table, data, off, off + len, buf)
+          out(i) = buf.toArray
+          off += len
+          i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(s"not a string codec: $other")
+    }
+    (values, present)
   }
 
   def decodeString(cs: ColumnStreams): (Array[String], Array[Boolean]) = {

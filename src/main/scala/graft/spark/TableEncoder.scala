@@ -76,6 +76,11 @@ object TableEncoder {
           // DecimalWriter.cs:30-31)
           val sc = s.narrow.split(',')(1).toInt
           (col(s.name) * lit(java.math.BigDecimal.TEN.pow(sc))).cast(LongType).as(s.name)
+        case "string" =>
+          // UTF-8 bytes produced inside the codegen'd projection: the
+          // encode closure never materializes a UTF-16 String (the
+          // dominant allocation of the old hot path)
+          col(s.name).cast(BinaryType).as(s.name)
         case _           => col(s.name)
       }
     }
@@ -96,6 +101,7 @@ object TableEncoder {
           val Array(p0, sc) = s.narrow.split(',').map(_.toInt)
           (col(s.name).cast(DecimalType(38, 0)) / lit(java.math.BigDecimal.TEN.pow(sc)))
             .cast(DecimalType(p0, sc)).as(s.name)
+        case "string"    => col(s.name).cast(StringType).as(s.name)
         case _           => col(s.name)
       }
     }
@@ -216,9 +222,9 @@ object TableEncoder {
   }
 
   private final class StringColBuf(codec: String) extends ColBuf {
-    private val values = new ArrayBuffer[String]()
-    private var mn: String = null
-    private var mx: String = null
+    private val values = new ArrayBuffer[Array[Byte]]() // UTF-8 (shredded via cast to binary)
+    private var mn: Array[Byte] = null
+    private var mx: Array[Byte] = null
     // FSST symbol table trained on the partition's first chunk, reused for
     // every later chunk of this partition (amortizes training; the table is
     // still serialized per chunk so decode stays self-contained)
@@ -228,10 +234,12 @@ object TableEncoder {
       if (row.isNullAt(i)) present.add(false)
       else {
         present.add(true)
-        val v = row.getString(i)
+        val v = row.getAs[Array[Byte]](i)
         values += v
-        if (mn == null || v < mn) mn = v
-        if (mx == null || v > mx) mx = v
+        // unsigned byte order == code-point order (UTF-16 ordinal differs
+        // only beyond the BMP); stats are advisory min/max, fine either way
+        if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
+        if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
         rawBytes += v.length
       }
     }
@@ -240,14 +248,16 @@ object TableEncoder {
         val corpus = new graft.core.ByteBuf(1 << 14)
         var i = 0
         while (i < values.length && corpus.length < (1 << 16)) {
-          corpus.writeBytes(values(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          corpus.writeBytes(values(i))
           i += 1
         }
         fsstTable = graft.core.Fsst.train(corpus.toArray)
       }
-      CodecSelector.encodeString(codec, values.toArray, present.toArray, fsstTable)
+      CodecSelector.encodeStrBytes(codec, values.toArray, present.toArray, fsstTable)
     }
-    def minMax: (Option[String], Option[String]) = (Option(mn), Option(mx))
+    def minMax: (Option[String], Option[String]) =
+      (Option(mn).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)),
+        Option(mx).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))
     override def clear(): Unit = { super.clear(); values.clear(); mn = null; mx = null }
   }
 
@@ -405,8 +415,7 @@ object TableEncoder {
         case "bool"                        => BooleanType
         case "double"                      => DoubleType
         case "float"                       => FloatType
-        case "binary"                      => BinaryType
-        case "string"                      => StringType
+        case "binary" | "string"           => BinaryType
       }
       StructField(s.name, dt, nullable = true)
     })
@@ -455,7 +464,7 @@ object TableEncoder {
       case "double"    => val (v, p) = ColumnCodec.decodeDouble(cs); merge(v.map(java.lang.Double.valueOf), p)
       case "float"     => val (v, p) = ColumnCodec.decodeFloat(cs); merge(v.map(java.lang.Float.valueOf), p)
       case "binary"    => val (v, p) = ColumnCodec.decodeBinary(cs); merge(v, p)
-      case "string"    => val (v, p) = ColumnCodec.decodeString(cs); merge(v, p)
+      case "string"    => val (v, p) = ColumnCodec.decodeStrBytes(cs); merge(v, p)
     }
   }
 }
