@@ -53,8 +53,13 @@ object SparkEntry {
         col("l_quantity").cast("decimal(18,6)").as("v_decimal"),
         col("l_discount").cast("float").as("v_float"),
         (col("l_orderkey") % 2 === 0).as("v_bool"),
-        col("l_shipdate").cast("date").as("v_date"))
-      roundTrip(s, li).orderBy("l_orderkey", "l_linenumber")
+        col("l_shipdate").cast("date").as("v_date"),
+        concat(col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey").cast("string")).cast("binary").as("v_binary"))
+      // binary is compared base64'd so the oracle diff is representation-safe
+      roundTrip(s, li)
+        .withColumn("v_binary", base64(col("v_binary")))
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // chunk pruning: cluster on the key, encode, then decode ONLY chunks
@@ -126,6 +131,47 @@ object SparkEntry {
           nullif(length(trim(col("text"))) - length(regexp_replace(trim(col("text")), " ", "")) + lit(1), lit(0)), 4)
           .as("mean_word_len"))
         .orderBy("doc_id")),
+    // the SQL codec surface (GraftExtensions): native Catalyst expressions
+    // fsst_compress/fsst_decompress/zlib_block/zlib_unblock round-tripping
+    // inside a SQL statement on an existing session
+    "q_sql_codecs" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      read(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  cast(fsst_decompress(fsst_compress(cast(text AS binary))) AS string) AS text2,
+          |  cast(zlib_unblock(zlib_block(cast(lang AS binary))) AS string) AS lang2
+          |FROM graft_docs ORDER BY doc_id""".stripMargin)
+    }),
+
+    // exact n-gram (word-trigram) Jaccard similarity of adjacent doc pairs
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = d.select(col("doc_id").as("doc_id_b"), col("text").as("text_b"))
+      d.join(b, col("doc_id_b") === col("doc_id") + 1)
+        .select(col("doc_id"),
+          round(Dedup.ngramJaccard(col("text"), col("text_b")), 6).as("jaccard"))
+        .orderBy("doc_id")
+    }),
+
+    // the reference's stats-merge (stride→stripe→file, SURVEY §2.5): the
+    // query is answered from CHUNK METADATA ONLY — the streams blobs are
+    // never decoded — and must equal the oracle's full scan
+    "q_stats_merge" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val codecs = EncodeJob.pinStringCodecs(li, 5000)
+      val specs = TableEncoder.columnSpecs(li.schema, codecs)
+      TableEncoder.encode(TableEncoder.shred(li, specs), specs, strideRows = 2000)
+        .filter(col("column").isin("l_orderkey", "l_suppkey", "l_partkey"))
+        .groupBy(col("column").as("col_name"))
+        .agg(
+          min(col("min_val").cast("long")).as("mn"),
+          max(col("max_val").cast("long")).as("mx"),
+          sum(col("sum_val")).as("sm"),
+          (sum(col("row_count")) - sum(col("null_count"))).as("n_vals"))
+        .orderBy("col_name")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       read(s, dir, "documents")
         .groupBy(col("text"))
@@ -246,7 +292,8 @@ object SparkEntry {
         | CAST(l_quantity AS DECIMAL(18,6)) AS v_decimal,
         | CAST(l_discount AS FLOAT) AS v_float,
         | (l_orderkey % 2 = 0) AS v_bool,
-        | CAST(l_shipdate AS DATE) AS v_date
+        | CAST(l_shipdate AS DATE) AS v_date,
+        | to_base64(CAST(l_returnflag || l_linestatus || CAST(l_orderkey AS VARCHAR) AS BLOB)) AS v_binary
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -281,6 +328,25 @@ object SparkEntry {
         | round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
         |   NULLIF(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1, 0), 4) AS mean_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sql_codecs" ->
+      "SELECT doc_id, text AS text2, lang AS lang2 FROM documents ORDER BY doc_id",
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents),
+        |g AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |        for i in range(1, greatest(length(toks)-2, 0)+1)]) grams FROM t)
+        |SELECT a.doc_id,
+        |  round(CASE WHEN length(list_distinct(a.grams || b.grams)) = 0 THEN 0
+        |   ELSE length(list_intersect(a.grams, b.grams))::DOUBLE / length(list_distinct(a.grams || b.grams)) END, 6) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
+    "q_stats_merge" ->
+      """SELECT 'l_orderkey' AS col_name, min(l_orderkey) AS mn, max(l_orderkey) AS mx,
+        |   CAST(sum(l_orderkey) AS BIGINT) AS sm, count(l_orderkey) AS n_vals FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', min(l_partkey), max(l_partkey), CAST(sum(l_partkey) AS BIGINT), count(l_partkey) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', min(l_suppkey), max(l_suppkey), CAST(sum(l_suppkey) AS BIGINT), count(l_suppkey) FROM lineitem
+        |ORDER BY col_name""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

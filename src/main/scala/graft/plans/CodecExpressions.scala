@@ -1,0 +1,119 @@
+package graft.plans
+
+import graft.core.{ByteBuf, BytesIn, Fsst, RleV2Reader, RleV2Writer, ZlibBlock}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** SQL-facing scalar codecs (SURVEY §4 "optional Column functions for
+  * fsst_compress / rle_encode if we expose SQL") — each a native Catalyst
+  * expression with a codegen body calling a static kernel, so they stay
+  * inside WholeStageCodegen instead of falling back to a Scala UDF.
+  *
+  * Semantics are self-contained per value:
+  *  - fsst_compress(BINARY) → BINARY envelope [symbol table][codes];
+  *    fsst_decompress inverts. (The chunk encoder amortizes one table per
+  *    partition — this scalar form trains per value and exists for ad-hoc
+  *    SQL and interop tests.)
+  *  - rle_encode(ARRAY<BIGINT>) → BINARY signed ORC RLEv2; rle_decode
+  *    inverts (the stream is self-terminating, count comes from headers).
+  *  - zlib_block / zlib_unblock: the ORC 3-byte-framed deflate blocks.
+  */
+object CodecKernels {
+  def fsstCompress(data: Array[Byte]): Array[Byte] = {
+    val table = Fsst.train(data)
+    val out = new ByteBuf(data.length / 2 + 64)
+    table.serialize(out)
+    Fsst.compress(table, data, out)
+    out.toArray
+  }
+
+  def fsstDecompress(env: Array[Byte]): Array[Byte] = {
+    val in = new BytesIn(env)
+    val table = Fsst.SymbolTable.deserialize(in)
+    val out = new ByteBuf(env.length * 3 + 8)
+    Fsst.decompress(table, env, in.pos, env.length, out)
+    out.toArray
+  }
+
+  def rleEncode(values: ArrayData): Array[Byte] = {
+    val out = new ByteBuf(values.numElements() + 16)
+    RleV2Writer.write(out, values.toLongArray(), signed = true, aligned = false)
+    out.toArray
+  }
+
+  def rleDecode(data: Array[Byte]): ArrayData = {
+    val longs = RleV2Reader.readAll(new BytesIn(data), signed = true)
+    new GenericArrayData(longs)
+  }
+
+  def zlibBlock(data: Array[Byte]): Array[Byte] = ZlibBlock.compress(data)
+  def zlibUnblock(data: Array[Byte]): Array[Byte] = ZlibBlock.decompress(data)
+}
+
+sealed abstract class CodecExpr(kernel: String, in: DataType, out: DataType)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = out
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == in)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects $in, got ${child.dataType}")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.CodecKernels.$kernel($c);")
+}
+
+case class FsstCompressExpr(child: Expression)
+    extends CodecExpr("fsstCompress", BinaryType, BinaryType) {
+  override def nullSafeEval(v: Any): Any = CodecKernels.fsstCompress(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "fsst_compress"
+}
+
+case class FsstDecompressExpr(child: Expression)
+    extends CodecExpr("fsstDecompress", BinaryType, BinaryType) {
+  override def nullSafeEval(v: Any): Any = CodecKernels.fsstDecompress(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "fsst_decompress"
+}
+
+case class RleEncodeExpr(child: Expression)
+    extends CodecExpr("rleEncode", ArrayType(LongType, containsNull = false), BinaryType) {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rle_encode expects array<bigint>, got $dt")
+    }
+  override def nullSafeEval(v: Any): Any = CodecKernels.rleEncode(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "rle_encode"
+}
+
+case class RleDecodeExpr(child: Expression)
+    extends CodecExpr("rleDecode", BinaryType, ArrayType(LongType, containsNull = false)) {
+  override def nullSafeEval(v: Any): Any = CodecKernels.rleDecode(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "rle_decode"
+}
+
+case class ZlibBlockExpr(child: Expression)
+    extends CodecExpr("zlibBlock", BinaryType, BinaryType) {
+  override def nullSafeEval(v: Any): Any = CodecKernels.zlibBlock(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "zlib_block"
+}
+
+case class ZlibUnblockExpr(child: Expression)
+    extends CodecExpr("zlibUnblock", BinaryType, BinaryType) {
+  override def nullSafeEval(v: Any): Any = CodecKernels.zlibUnblock(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "zlib_unblock"
+}

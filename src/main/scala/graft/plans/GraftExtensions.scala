@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Session extension registering graft's SQL functions — enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`. For a session that already
+  * exists (e.g. one handed to SparkEntry.queries by a driver),
+  * `GraftExtensions.register(spark)` injects the same functions
+  * imperatively.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), GraftExtensions.info(name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", name)
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "fsst_compress" -> { args: Seq[Expression] => FsstCompressExpr(args.head) },
+    "fsst_decompress" -> { args: Seq[Expression] => FsstDecompressExpr(args.head) },
+    "rle_encode" -> { args: Seq[Expression] => RleEncodeExpr(args.head) },
+    "rle_decode" -> { args: Seq[Expression] => RleDecodeExpr(args.head) },
+    "zlib_block" -> { args: Seq[Expression] => ZlibBlockExpr(args.head) },
+    "zlib_unblock" -> { args: Seq[Expression] => ZlibUnblockExpr(args.head) },
+    "cosine_similarity" -> { args: Seq[Expression] => CosineSimilarity(args(0), args(1)) },
+  )
+
+  /** Imperative registration into an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, info(name), builder)
+    }
+}

@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("fsst_compress/fsst_decompress round-trip via SQL, and it compresses") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val docs = (0 until 200).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number $i again and again " * 8))
+      .toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val r = spark.sql(
+      """SELECT id,
+        |  cast(fsst_decompress(fsst_compress(cast(text AS binary))) AS string) = text AS ok,
+        |  length(fsst_compress(cast(text AS binary))) < length(cast(text AS binary)) AS smaller
+        |FROM ext_docs""".stripMargin)
+    val rows = r.collect()
+    assert(rows.length == 200 && rows.forall(x => x.getBoolean(1) && x.getBoolean(2)))
+  }
+
+  test("rle_encode/rle_decode round-trip and delta-compress monotonic runs") {
+    val r = spark.sql(
+      """SELECT rle_decode(rle_encode(sequence(0L, 5000L))) = sequence(0L, 5000L) AS ok,
+        |       length(rle_encode(sequence(0L, 5000L))) AS n""".stripMargin).first()
+    assert(r.getBoolean(0))
+    val n = r.getAs[Number](1).longValue()
+    assert(n < 100, s"5001 sequential longs should delta-encode tiny, got $n B")
+  }
+
+  test("zlib_block/zlib_unblock round-trip") {
+    val r = spark.sql(
+      """SELECT cast(zlib_unblock(zlib_block(cast(repeat('abcdef', 5000) AS binary))) AS string)
+        |       = repeat('abcdef', 5000) AS ok""".stripMargin).first()
+    assert(r.getBoolean(0))
+  }
+
+  test("cosine_similarity is registered in SQL and stays in codegen") {
+    // range() scan (not a local relation, which evaluates at the driver)
+    // so the expression provably runs inside WholeStageCodegen
+    val df = spark.sql(
+      """SELECT cosine_similarity(array(cast(id AS float), cast(0.0 AS float)),
+        |         array(cast(id AS float), cast(0.0 AS float))) AS c
+        |FROM range(1, 50)""".stripMargin)
+    val vals = df.collect().map(_.getDouble(0))
+    assert(vals.length == 49 && vals.forall(v => math.abs(v - 1.0) < 1e-9))
+    // "*(n)" is the WholeStageCodegen stage marker in plan strings
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("cosine_similarity"))
+  }
+
+  test("imperative registration works on a plain session") {
+    val plain = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .appName("no-extensions").getOrCreate().newSession()
+    GraftExtensions.register(plain)
+    val ok = plain.sql(
+      "SELECT cast(fsst_decompress(fsst_compress(cast('hello graft hello graft' AS binary))) AS string)")
+      .first().getString(0)
+    assert(ok == "hello graft hello graft")
+  }
+}
