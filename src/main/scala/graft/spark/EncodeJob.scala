@@ -226,4 +226,36 @@ object EncodeJob {
     val chunks = spark.read.parquet(chunkDir(outDir)).as[EncodedChunk]
     TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
   }
+
+  /** Shuffle-free read-back: pins file-split confs for this read so every
+    * Spark partition covers whole chunk files (the writer emits one file
+    * per encode task, chunk groups contiguous within it), then decodes
+    * with the sequential single-pass grouper — the plan contains no
+    * Exchange, so at 100 TB the stream blobs cross the network zero times
+    * instead of once.
+    */
+  def readBackColocated(spark: SparkSession, outDir: String,
+                        specs: Array[ColumnSpec]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.conf
+    val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", (1L << 40).toString) // never split a file
+      conf.set("spark.sql.files.openCostInBytes", "0") // combining whole files is fine
+      val chunks = spark.read.parquet(chunkDir(outDir)).as[EncodedChunk]
+      val decoded = TableEncoder.decodeSequential(chunks, specs)
+      // force physical planning NOW (file splits are decided from the conf
+      // at plan time) and pin the planned RDD, so actions after the conf
+      // window closes cannot re-split the files
+      val pinned = org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+        spark, decoded.queryExecution.toRdd, decoded.schema)
+      TableEncoder.unshred(pinned, specs)
+    } finally {
+      prevMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(v =>
+        conf.set("spark.sql.files.maxPartitionBytes", v))
+      prevOpen.fold(conf.unset("spark.sql.files.openCostInBytes"))(v =>
+        conf.set("spark.sql.files.openCostInBytes", v))
+    }
+  }
 }

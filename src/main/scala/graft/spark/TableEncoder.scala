@@ -383,6 +383,48 @@ object TableEncoder {
       .toDF()
   }
 
+  /** Zero-shuffle decode for chunks whose layout preserves the writer's
+    * row order: the encode task emits all of a chunk's column rows
+    * consecutively, so when each read partition covers whole files (see
+    * EncodeJob.readBackColocated, which pins maxPartitionBytes for the
+    * read), a streaming single-pass group-by-adjacency suffices — no
+    * Exchange in the plan. At 100 TB the groupByKey in `decode` re-moves
+    * every stream blob over the network once; this path avoids it.
+    * Throws if a group is split across partitions (layout violated) —
+    * fall back to `decode` in that case.
+    */
+  def decodeSequential(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame = {
+    val spark = chunks.sparkSession
+    val specsB = spark.sparkContext.broadcast(specs)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(physicalSchema(specs))
+    chunks.mapPartitions { it =>
+      val sp = specsB.value
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        private def fill(): Unit = {
+          while (!pending.hasNext && it.hasNext) {
+            val group = scala.collection.mutable.Map[String, EncodedChunk]()
+            val first = it.next()
+            group(first.column) = first
+            while (group.size < sp.length) {
+              require(it.hasNext,
+                s"chunk (${first.part_id},${first.chunk_id}) split across partitions — " +
+                  "read with readBackColocated or use decode()")
+              val c = it.next()
+              require(c.part_id == first.part_id && c.chunk_id == first.chunk_id,
+                s"interleaved chunk groups: (${first.part_id},${first.chunk_id}) vs (${c.part_id},${c.chunk_id})")
+              group(c.column) = c
+            }
+            pending = decodeChunkRows(group.toMap, sp)
+          }
+        }
+        def hasNext: Boolean = { fill(); pending.hasNext }
+        def next(): Row = { fill(); pending.next() }
+      }
+    }(rowEnc).toDF()
+  }
+
   /** Stats-pruned decode: skip whole chunks whose [min,max] on `column`
     * cannot overlap [lo,hi] — the point of the reference's per-stride
     * statistics (SURVEY §2.5) which its own reader never exploits. At
@@ -393,13 +435,14 @@ object TableEncoder {
   def decodePruned(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
                    column: String, lo: Long, hi: Long): DataFrame = {
     import chunks.sparkSession.implicits._
-    val keep = chunks
-      .filter { c =>
-        c.column == column && (((c.min_val, c.max_val)) match {
-          case (Some(mn), Some(mx)) => !(mx.toLong < lo || mn.toLong > hi)
-          case _                    => true // no stats ⇒ cannot prune
-        })
-      }
+    // column-based (untyped) predicate: a typed lambda filter would
+    // deserialize whole EncodedChunk objects — including the stream
+    // blobs — just to read four metadata fields; this way pruning +
+    // pushdown reach the scan and the keep-set pass never touches blobs
+    val keep = chunks.toDF()
+      .filter(col("column") === column &&
+        (col("min_val").isNull || col("max_val").isNull ||
+          !(col("max_val").cast(LongType) < lo || col("min_val").cast(LongType) > hi)))
       .select("part_id", "chunk_id")
     val pruned = chunks
       .join(org.apache.spark.sql.functions.broadcast(keep), Seq("part_id", "chunk_id"), "left_semi")

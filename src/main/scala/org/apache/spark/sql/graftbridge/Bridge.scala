@@ -13,6 +13,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Pin an already-planned RDD[InternalRow] as a DataFrame so downstream
+    * operators compose on top WITHOUT re-planning the source (used to
+    * freeze file-split decisions made under a temporary conf window).
+    */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+                              rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                              schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register a function into an EXISTING session's registry (the
     * extensions path only applies at session build time).
     */

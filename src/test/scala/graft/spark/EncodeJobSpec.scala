@@ -58,6 +58,24 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codecs.contains("text=STRING_FSST") || codecs.contains("text=STRING_DIRECT"), codecs)
   }
 
+  test("colocated read-back: zero-shuffle decode equals the shuffled decode") {
+    val pages = WebGen.pages(spark, 4000, seed = 7, partitions = 4)
+    val out = s"$tmp/coloc"
+    val result = EncodeJob.run(pages.toDF(), EncodeJob.Config(out, 4, Some("lang"), strideRows = 500))
+
+    val colocated = EncodeJob.readBackColocated(spark, out, result.specs)
+    // the whole decode plan must be shuffle-free — that is the point
+    assert(!colocated.queryExecution.executedPlan.toString.contains("Exchange"),
+      "colocated decode plan contains a shuffle")
+    assert(colocated.count() == 4000)
+
+    val viaShuffle = EncodeJob.readBack(spark, out, result.specs)
+      .select("url", "text", "lang").orderBy("url").collect().toSeq
+    val viaColoc = colocated
+      .select("url", "text", "lang").orderBy("url").collect().toSeq
+    assert(viaColoc == viaShuffle)
+  }
+
   test("compression: encoded size beats raw and dictionary kicks in on lang") {
     val pages = WebGen.pages(spark, 4000, seed = 7, partitions = 2).toDF()
     val out = s"$tmp/compression"
