@@ -51,20 +51,35 @@ object Fsst {
       }
       t
     }
-    private[Fsst] val shortCodes: Array[Int] = {
-      val t = Array.fill(1 << 16)(-1)
-      var i = 0
-      while (i < symbols.length) {
-        if (symLen(i) == 2 && t(symLong(i).toInt) < 0) t(symLong(i).toInt) = i
-        i += 1
-      }
-      t
-    }
     private[Fsst] val byteCodes: Array[Int] = {
       val t = Array.fill(256)(-1)
       var i = 0
       while (i < symbols.length) {
         if (symLen(i) == 1 && t(symLong(i).toInt) < 0) t(symLong(i).toInt) = i
+        i += 1
+      }
+      t
+    }
+
+    /** Fused 2-byte/1-byte resolution (paper §3.2): slot [b0|b1<<8] holds
+      * `code<<1` for a 2-byte symbol, else `code<<1|1` for the 1-byte
+      * symbol of b0, else -1 (escape b0). One array read decides the
+      * whole sub-3-byte match.
+      */
+    private[Fsst] val shortCodes: Array[Int] = {
+      val t = new Array[Int](1 << 16)
+      var v = 0
+      while (v < (1 << 16)) {
+        val b = byteCodes(v & 0xff)
+        t(v) = if (b >= 0) (b << 1) | 1 else -1
+        v += 1
+      }
+      var i = 0
+      while (i < symbols.length) {
+        if (symLen(i) == 2) {
+          val slot = symLong(i).toInt
+          if (t(slot) < 0 || (t(slot) & 1) == 1) t(slot) = i << 1
+        }
         i += 1
       }
       t
@@ -207,8 +222,9 @@ object Fsst {
       }
     }
     if (avail >= 2) {
-      val idx = table.shortCodes((w & 0xffffL).toInt)
-      if (idx >= 0) return idx
+      val sc = table.shortCodes((w & 0xffffL).toInt)
+      if (sc >= 0) return sc >>> 1 // fused: covers both 2-byte and 1-byte
+      return -1
     }
     table.byteCodes((w & 0xffL).toInt)
   }
@@ -223,7 +239,6 @@ object Fsst {
     val fastEnd = data.length - MaxSymbolLen // full 8-byte loads safe through here
     val longTable = table.longTable
     val shortCodes = table.shortCodes
-    val byteCodes = table.byteCodes
     val symLen = table.symLen
     val symLong = table.symLong
     while (pos <= fastEnd) {
@@ -232,14 +247,9 @@ object Fsst {
       if (idx >= 0 && (w & lenMask(symLen(idx))) == symLong(idx)) {
         dst(o) = idx.toByte; o += 1; pos += symLen(idx)
       } else {
-        val s = shortCodes((w & 0xffffL).toInt)
-        if (s >= 0) { dst(o) = s.toByte; o += 1; pos += 2 }
-        else {
-          val b = byteCodes((w & 0xffL).toInt)
-          if (b >= 0) { dst(o) = b.toByte; o += 1 }
-          else { dst(o) = EscapeCode.toByte; dst(o + 1) = (w & 0xff).toByte; o += 2 }
-          pos += 1
-        }
+        val s = shortCodes((w & 0xffffL).toInt) // fused 2-byte/1-byte/escape
+        if (s >= 0) { dst(o) = (s >>> 1).toByte; o += 1; pos += 2 - (s & 1) }
+        else { dst(o) = EscapeCode.toByte; dst(o + 1) = (w & 0xff).toByte; o += 2; pos += 1 }
       }
     }
     while (pos < data.length) { // tail: windows shorter than 8 bytes

@@ -90,4 +90,54 @@ class OrcCrossOracleSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---------- ByteRLE (PRESENT / boolean / byte streams) ----------
+
+  private def javaByteEncode(values: Array[Byte]): Array[Byte] = {
+    val collected = new java.io.ByteArrayOutputStream()
+    val receiver = new org.apache.orc.PhysicalWriter.OutputReceiver {
+      override def output(buffer: ByteBuffer): Unit = {
+        val arr = new Array[Byte](buffer.remaining())
+        buffer.get(arr)
+        collected.write(arr)
+      }
+      override def suppress(): Unit = ()
+    }
+    val out = new org.apache.orc.impl.OutStream("test",
+      new org.apache.orc.impl.writer.StreamOptions(128 * 1024), receiver)
+    val writer = new org.apache.orc.impl.RunLengthByteWriter(out)
+    values.foreach(writer.write)
+    writer.flush()
+    collected.toByteArray
+  }
+
+  private def javaByteDecode(bytes: Array[Byte], count: Int): Array[Byte] = {
+    val chunk = new org.apache.orc.impl.BufferChunk(ByteBuffer.wrap(bytes), 0L)
+    val in = org.apache.orc.impl.InStream.create("test", chunk, 0L, bytes.length.toLong)
+    val reader = new org.apache.orc.impl.RunLengthByteReader(in)
+    val out = new Array[Byte](count)
+    var i = 0
+    while (i < count) { out(i) = reader.next(); i += 1 }
+    out
+  }
+
+  private val byteShapes: Seq[(String, Array[Byte])] = {
+    val rng = new scala.util.Random(7)
+    Seq(
+      "runs" -> Array.tabulate[Byte](4000)(i => (i / 130).toByte),
+      "literals" -> Array.fill[Byte](4000)(rng.nextInt(256).toByte),
+      "mixed" -> Array.tabulate[Byte](4000)(i => if ((i / 100) % 2 == 0) 7 else rng.nextInt(256).toByte),
+      "tiny" -> Array[Byte](1, 1, 1),
+      "two" -> Array[Byte](5, 9))
+  }
+
+  test("our ByteRLE interoperates with Java ORC in both directions") {
+    byteShapes.foreach { case (name, values) =>
+      val ours = { val b = new ByteBuf(); ByteRle.write(b, values); b.toArray }
+      assert(javaByteDecode(ours, values.length).sameElements(values), s"ours→java: $name")
+      val javaBytes = javaByteEncode(values)
+      val decoded = ByteRle.readAll(new BytesIn(javaBytes))
+      assert(decoded.sameElements(values), s"java→ours: $name")
+    }
+  }
 }
