@@ -146,6 +146,25 @@ object Bench {
     val effFit = eff(math.max(1, cpus / 2), math.max(1, cpus / 8))
     val effSmall = eff(math.max(1, cpus / 4), math.max(1, cpus / 16))
 
+    // -------- decode throughput (zero-shuffle colocated path) --------
+    val (decodeSec, decodeRows) = {
+      val s = session(cpus)
+      try {
+        val tmpOut = java.nio.file.Files.createTempDirectory("graft-bench-enc").toString
+        val pages = WebGen.pages(s, benchRows, seed = 42, partitions = cpus * 3).toDF()
+        val res = EncodeJob.run(pages, EncodeJob.Config(tmpOut, cpus, Some("lang")))
+        EncodeJob.readBackColocated(s, tmpOut, res.specs).count() // warm
+        var bestSec = Double.MaxValue
+        var n = 0L
+        (1 to 2).foreach { _ => // min of 2: one stormy sample cannot define decode
+          val t0 = System.nanoTime()
+          n = EncodeJob.readBackColocated(s, tmpOut, res.specs).count()
+          bestSec = math.min(bestSec, (System.nanoTime() - t0) / 1e9)
+        }
+        (bestSec, n)
+      } finally s.stop()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val perLevel = levels.map { l =>
@@ -159,6 +178,7 @@ object Bench {
         f""""scaling_efficiency_${cpus / 4}%d_$cpus%d":$effBig%.3f,""" +
         f""""scaling_efficiency_${cpus / 8}%d_${cpus / 2}%d":$effFit%.3f,""" +
         f""""scaling_efficiency_${cpus / 16}%d_${cpus / 4}%d":$effSmall%.3f,""" +
+        f""""decode_sec$cpus%d":$decodeSec%.2f,"decode_gbps$cpus%d":${rawBytes / 1e9 / math.max(0.001, decodeSec)}%.3f,"decode_rows":$decodeRows%d,""" +
         f""""bytes_per_doc":${encodedBytes.toDouble / benchRows}%.1f,"compression_ratio":${encodedBytes.toDouble / rawBytes}%.4f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":$encodeJson}""")

@@ -53,9 +53,12 @@ object EncodeDemo {
     println(f"decoded $decodedRows%d rows in ${(System.nanoTime() - t1) / 1e9}%.1f s")
 
     if (keyCol.isDefined) {
-      val orig = df.select(col("url"), md5(col("html")).as("oh"), col("text").as("ot"))
-      val dec = decoded.select(col("url"), md5(col("html")).as("dh"), col("text").as("dt"))
-      val bad = orig.join(dec, "url")
+      // hashes, not raw text: equality is the only question, and a
+      // misestimated broadcast of a full-text side at 2M+ rows blows
+      // spark.driver.maxResultSize
+      val orig = df.select(col("url"), md5(col("html")).as("oh"), md5(col("text").cast("binary")).as("ot"))
+      val dec = decoded.select(col("url"), md5(col("html")).as("dh"), md5(col("text").cast("binary")).as("dt"))
+      val bad = orig.hint("merge").join(dec, "url")
         .filter(col("oh") =!= col("dh") || col("ot") =!= col("dt")).count()
       println(s"bit-identity check: $bad mismatching urls (must be 0)")
       if (bad != 0) sys.exit(1)
