@@ -56,9 +56,12 @@ object SparkEntry {
         col("l_shipdate").cast("date").as("v_date"),
         concat(col("l_returnflag"), col("l_linestatus"),
           col("l_orderkey").cast("string")).cast("binary").as("v_binary"))
-      // binary is compared base64'd so the oracle diff is representation-safe
+      // binary is compared base64'd and decimal stringified so the oracle
+      // diff is representation-safe (the codecs still see the real types
+      // inside roundTrip; only the FINAL projection is normalized)
       roundTrip(s, li)
         .withColumn("v_binary", base64(col("v_binary")))
+        .withColumn("v_decimal", col("v_decimal").cast("string"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -79,12 +82,16 @@ object SparkEntry {
     }),
 
     // ---- analytics over the star schema (oracle-checked) ----
+    // Final DECIMAL columns are rendered as STRING at a pinned scale on
+    // BOTH sides: the driver's hash is sensitive to the decimal physical
+    // representation (Spark decimal128(28,4) vs DuckDB DECIMAL(38,4) hash
+    // differently even when every value is identical — round-1 verdict).
     "q1_agg" -> ((s, dir) =>
       read(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").cast("string").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").cast("string").as("sum_price"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")),
     "q_join_agg" -> ((s, dir) => {
@@ -96,7 +103,8 @@ object SparkEntry {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) - col("l_discount").cast("decimal(18,4)"))).as("revenue"),
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(30,6)").cast("string").as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy("n_name")
     }),
@@ -112,11 +120,14 @@ object SparkEntry {
     "q_topk" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
       val p = read(s, dir, "part")
+      // order/limit on the NUMERIC revenue, stringify only in the final
+      // projection (a string sort would be lexicographic)
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) - col("l_discount").cast("decimal(18,4)"))).as("revenue"))
         .orderBy(desc("revenue"), col("p_brand"))
         .limit(20)
+        .select(col("p_brand"), col("revenue").cast("decimal(30,6)").cast("string").as("revenue"))
     }),
 
     // ---- text analysis (oracle-checked where bit-stable) ----
@@ -257,7 +268,7 @@ object SparkEntry {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).as("total"))
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(30,4)").cast("string").as("total"))
         .select(col("window.start").cast("timestamp_ntz").as("day"),
           col("event_type"), col("n"), col("total"))
       val q = agg.writeStream.format("memory").queryName("q_stream_window")
@@ -289,7 +300,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         | CAST(l_linenumber AS TINYINT) AS v_byte,
         | CAST(l_suppkey % 1000 AS SMALLINT) AS v_short,
-        | CAST(l_quantity AS DECIMAL(18,6)) AS v_decimal,
+        | CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR) AS v_decimal,
         | CAST(l_discount AS FLOAT) AS v_float,
         | (l_orderkey % 2 = 0) AS v_bool,
         | CAST(l_shipdate AS DATE) AS v_date,
@@ -297,14 +308,14 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_agg" ->
       """SELECT n_name,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
@@ -317,10 +328,11 @@ object SparkEntry {
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS running
         |FROM events ORDER BY user_id, rn""".stripMargin,
     "q_topk" ->
-      """SELECT p_brand,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 20""".stripMargin,
+      """SELECT p_brand, CAST(CAST(revenue AS DECIMAL(30,6)) AS VARCHAR) AS revenue FROM (
+        | SELECT p_brand,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 20)""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars2,
         | CASE WHEN length(trim(text)) = 0 THEN 0
@@ -353,8 +365,8 @@ object SparkEntry {
     "q_lang_counts" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
     "q_stream_window" ->
-      """SELECT date_trunc('day', ts) AS day, event_type,
-        | count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS total
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        | count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS VARCHAR) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
   )
 }
