@@ -398,6 +398,15 @@ object ColumnCodec {
   /** Input: epoch micros (Spark's internal timestamp representation).
     * DATA = signed seconds relative to the 2015 epoch, SECONDARY =
     * (scaledNanos << 3 | scaleCode) with trailing zeros removed, unsigned.
+    *
+    * Seconds are FLOOR-divided so the fraction is always in [0, 1s) —
+    * Java ORC's effective convention for post-1970 instants
+    * (TimestampTreeWriter writes millis/1000 with java.sql.Timestamp
+    * nanos already normalized non-negative). The reference instead
+    * truncates toward zero and stores abs(remainder)
+    * (TimestampWriter.cs:111-131), which loses the fraction's sign for
+    * instants within 1s before the 2015 epoch — a quirk we deliberately
+    * do NOT replicate (decode would land up to 1s off).
     */
   def encodeTimestamp(epochMicros: Array[Long], present: Array[Boolean],
                       aligned: Boolean = false): ColumnStreams = {
@@ -407,9 +416,9 @@ object ColumnCodec {
     var i = 0
     while (i < epochMicros.length) {
       val rel = epochMicros(i) - OrcEpochMicros
-      val secs = rel / 1000000L // truncates toward zero, matching the reference
-      val remMicros = rel - secs * 1000000L
-      val nanos = math.abs(remMicros) * 1000L
+      val secs = Math.floorDiv(rel, 1000000L)
+      val remMicros = rel - secs * 1000000L // in [0, 1e6)
+      val nanos = remMicros * 1000L
       fractions(i) = removeZeros(nanos)
       seconds(i) = secs
       i += 1
@@ -454,8 +463,10 @@ object ColumnCodec {
         while (s > 0) { nanos *= 10; s -= 1 }
       }
       val micros = nanos / 1000L
-      val secs = seconds(i)
-      out(i) = OrcEpochMicros + secs * 1000000L + (if (secs >= 0) micros else -micros)
+      // fraction is always non-negative (floor-div encode), so no sign
+      // conditional — the reference's secs>=0 test (TimestampReader.cs:58-70)
+      // is exactly what broke the epoch-boundary window
+      out(i) = OrcEpochMicros + seconds(i) * 1000000L + micros
       i += 1
     }
     (out, present)

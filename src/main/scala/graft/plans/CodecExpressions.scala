@@ -38,7 +38,16 @@ object CodecKernels {
   }
 
   def rleEncode(values: ArrayData): Array[Byte] = {
-    val out = new ByteBuf(values.numElements() + 16)
+    // toLongArray on an array with null elements reads garbage (unsafe
+    // layout) or NPEs (generic) — fail loudly instead
+    var i = 0
+    val n = values.numElements()
+    while (i < n) {
+      if (values.isNullAt(i))
+        throw new IllegalArgumentException(s"rle_encode: null element at index $i (array<bigint> must be null-free)")
+      i += 1
+    }
+    val out = new ByteBuf(n + 16)
     RleV2Writer.write(out, values.toLongArray(), signed = true, aligned = false)
     out.toArray
   }

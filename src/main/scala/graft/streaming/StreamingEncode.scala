@@ -87,10 +87,19 @@ object StreamingEncode {
 
   final case class Sighting(url: String, textHash: Long)
 
-  /** Streaming exact-dedup on (url, xxhash64(text)): re-crawls with
-    * unchanged content are dropped; changed content passes. State per url
-    * is one long and expires after `stateTtl` of inactivity, so the
-    * operator holds O(active urls) not O(all urls ever seen).
+  /** How many distinct content hashes to remember per url in
+    * dropRecrawls. Real crawl churn is a handful of versions per url per
+    * TTL window; the cap bounds state at 64 longs per active url.
+    */
+  final val RecrawlHashesPerUrl = 64
+
+  /** Streaming exact-dedup on (url, content-hash): the first sighting of
+    * each (url, hash) passes, later re-crawls with any previously-seen
+    * content are dropped — including A→B→A flips, which a last-hash-only
+    * state would re-admit. State per url is a bounded FIFO of the last
+    * [[RecrawlHashesPerUrl]] distinct hashes and expires after `stateTtl`
+    * of inactivity, so the operator holds O(active urls × 64 longs), not
+    * O(all urls ever seen).
     */
   def dropRecrawls[T <: Product](pages: Dataset[graft.spark.Page],
                                  stateTtl: String = "30 minutes"): Dataset[graft.spark.Page] = {
@@ -99,20 +108,23 @@ object StreamingEncode {
     pages
       .groupByKey(_.url)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
-        (url: String, rows: Iterator[graft.spark.Page], state: GroupState[Long]) => {
+        (url: String, rows: Iterator[graft.spark.Page], state: GroupState[Seq[Long]]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val lastHash = if (state.exists) state.get else Long.MinValue
-            var h = lastHash
+            // FIFO of seen hashes, newest last; Seq[Long] has a built-in
+            // Spark encoder so state stays in Tungsten format
+            var seen: Vector[Long] = if (state.exists) state.get.toVector else Vector.empty
             val out = rows.filter { p =>
               val ph = graft.functions.TextOps.fingerprint(if (p.text == null) "" else p.text)
-              val fresh = ph != h
-              if (fresh) h = ph
+              val fresh = !seen.contains(ph)
+              if (fresh) {
+                seen = (seen :+ ph).takeRight(RecrawlHashesPerUrl)
+              }
               fresh
             }.toVector
-            state.update(h)
+            state.update(seen)
             state.setTimeoutDuration(stateTtl)
             out.iterator
           }
