@@ -228,11 +228,14 @@ object EncodeJob {
   }
 
   /** Shuffle-free read-back: pins file-split confs for this read so every
-    * Spark partition covers whole chunk files (the writer emits one file
-    * per encode task, chunk groups contiguous within it), then decodes
-    * with the sequential single-pass grouper — the plan contains no
-    * Exchange, so at 100 TB the stream blobs cross the network zero times
-    * instead of once.
+    * Spark partition covers exactly one whole chunk file (the writer
+    * emits one file per encode task, chunk groups contiguous within it),
+    * then decodes with the sequential single-pass grouper — the plan
+    * contains no Exchange, so at 100 TB the stream blobs cross the
+    * network zero times instead of once. One-file-per-partition also
+    * preserves the encode tasks' parallelism: letting Spark pack many
+    * files into few partitions (openCostInBytes=0) measured 3× slower at
+    * local[32] from straggler partitions.
     */
   def readBackColocated(spark: SparkSession, outDir: String,
                         specs: Array[ColumnSpec]): DataFrame = {
@@ -241,16 +244,23 @@ object EncodeJob {
     val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
     val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
     try {
-      conf.set("spark.sql.files.maxPartitionBytes", (1L << 40).toString) // never split a file
-      conf.set("spark.sql.files.openCostInBytes", "0") // combining whole files is fine
+      // largest data file decides the split bound: maxPartitionBytes ≥
+      // largest file means no file is ever split; openCost == the bound
+      // means no two files ever share a partition (bin-packing closes the
+      // bin as soon as one file + one opening cost fills it)
+      val dir = new org.apache.hadoop.fs.Path(chunkDir(outDir))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val largest = fs.listStatus(dir).iterator
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(_.getLen).foldLeft(1L)(math.max)
+      conf.set("spark.sql.files.maxPartitionBytes", largest.toString)
+      conf.set("spark.sql.files.openCostInBytes", largest.toString)
       val chunks = spark.read.parquet(chunkDir(outDir)).as[EncodedChunk]
+      // decodeSequential plans the scan eagerly (it materializes the RDD
+      // lineage under the hood), so the file-split decision is pinned
+      // while the conf window is open; later actions cannot re-split
       val decoded = TableEncoder.decodeSequential(chunks, specs)
-      // force physical planning NOW (file splits are decided from the conf
-      // at plan time) and pin the planned RDD, so actions after the conf
-      // window closes cannot re-split the files
-      val pinned = org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
-        spark, decoded.queryExecution.toRdd, decoded.schema)
-      TableEncoder.unshred(pinned, specs)
+      TableEncoder.unshred(decoded, specs)
     } finally {
       prevMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(v =>
         conf.set("spark.sql.files.maxPartitionBytes", v))

@@ -364,44 +364,44 @@ object TableEncoder {
 
   /** Dataset[EncodedChunk] (or its DataFrame read back from parquet) →
     * the original table. Chunks of the same (part_id, chunk_id) are
-    * reassembled with a groupByKey; decode is column-at-a-time then
-    * zipped back to rows.
+    * co-located with a hash repartition + in-partition sort (stays in
+    * Tungsten shuffle format — no object serialization of the blobs)
+    * and decoded by the same adjacency grouper as the zero-shuffle path.
     */
-  def decode(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame = {
-    val spark = chunks.sparkSession
-    val specsB = spark.sparkContext.broadcast(specs)
-    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(physicalSchema(specs))
-
-    import spark.implicits._
-    chunks.groupByKey(c => (c.part_id, c.chunk_id))
-      .flatMapGroups { (_, it) =>
-        val sp = specsB.value
-        val byCol = it.map(c => c.column -> c).toMap
-        decodeChunkRows(byCol, sp)
-      }(rowEnc)
-      .toDF()
-  }
+  def decode(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame =
+    decodeAdjacent(
+      chunks.repartition(col("part_id"), col("chunk_id"))
+        .sortWithinPartitions("part_id", "chunk_id"),
+      specs)
 
   /** Zero-shuffle decode for chunks whose layout preserves the writer's
     * row order: the encode task emits all of a chunk's column rows
     * consecutively, so when each read partition covers whole files (see
     * EncodeJob.readBackColocated, which pins maxPartitionBytes for the
     * read), a streaming single-pass group-by-adjacency suffices — no
-    * Exchange in the plan. At 100 TB the groupByKey in `decode` re-moves
+    * Exchange in the plan. At 100 TB the shuffle in `decode` re-moves
     * every stream blob over the network once; this path avoids it.
     * Throws if a group is split across partitions (layout violated) —
     * fall back to `decode` in that case.
     */
-  def decodeSequential(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame = {
+  def decodeSequential(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame =
+    decodeAdjacent(chunks, specs)
+
+  /** Shared decode core: adjacent rows of the same (part_id, chunk_id)
+    * form one chunk group; each group decodes column-at-a-time into
+    * primitive arrays and is emitted as UnsafeRows via UnsafeRowWriter —
+    * no per-value boxing and no Row→InternalRow encoder pass (the old
+    * Row.fromSeq path was 4.5× slower than encode at 32 cores).
+    */
+  private def decodeAdjacent(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame = {
     val spark = chunks.sparkSession
     val specsB = spark.sparkContext.broadcast(specs)
-    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(physicalSchema(specs))
-    chunks.mapPartitions { it =>
+    val schema = physicalSchema(specs)
+    val rdd = chunks.rdd.mapPartitions { it =>
       val sp = specsB.value
-      new Iterator[Row] {
-        private var pending: Iterator[Row] = Iterator.empty
+      val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(sp.length)
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var pending: Iterator[org.apache.spark.sql.catalyst.InternalRow] = Iterator.empty
         private def fill(): Unit = {
           while (!pending.hasNext && it.hasNext) {
             val group = scala.collection.mutable.Map[String, EncodedChunk]()
@@ -416,13 +416,14 @@ object TableEncoder {
                 s"interleaved chunk groups: (${first.part_id},${first.chunk_id}) vs (${c.part_id},${c.chunk_id})")
               group(c.column) = c
             }
-            pending = decodeChunkRows(group.toMap, sp)
+            pending = decodeChunkInternalRows(group.toMap, sp, writer)
           }
         }
         def hasNext: Boolean = { fill(); pending.hasNext }
-        def next(): Row = { fill(); pending.next() }
+        def next(): org.apache.spark.sql.catalyst.InternalRow = { fill(); pending.next() }
       }
-    }(rowEnc).toDF()
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, schema)
   }
 
   /** Stats-pruned decode: skip whole chunks whose [min,max] on `column`
@@ -463,12 +464,45 @@ object TableEncoder {
       StructField(s.name, dt, nullable = true)
     })
 
-  /** Decode one chunk's columns and zip into Rows. Used by both the Spark
-    * decode path and direct tests.
+  /** One decoded column in primitive form: values packed (non-null only,
+    * writer order) + the row-level present bitmap. No boxing anywhere.
     */
-  def decodeChunkRows(byCol: Map[String, EncodedChunk], specs: Array[ColumnSpec]): Iterator[Row] = {
+  private sealed trait Decoded { def present: Array[Boolean] }
+  private final case class LongsD(values: Array[Long], present: Array[Boolean]) extends Decoded
+  private final case class BoolsD(values: Array[Boolean], present: Array[Boolean]) extends Decoded
+  private final case class DoublesD(values: Array[Double], present: Array[Boolean]) extends Decoded
+  private final case class FloatsD(values: Array[Float], present: Array[Boolean]) extends Decoded
+  private final case class BinsD(values: Array[Array[Byte]], present: Array[Boolean]) extends Decoded
+
+  private def decodeColumnPrim(cs: ColumnStreams, spec: ColumnSpec): Decoded = spec.logical match {
+    case "long" if cs.codec == Codecs.ByteRleC =>
+      val (v, p) = ColumnCodec.decodeByte(cs)
+      val longs = new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) { longs(i) = v(i).toLong; i += 1 }
+      LongsD(longs, p)
+    case "long"      => val (v, p) = ColumnCodec.decodeLong(cs); LongsD(v, p)
+    case "decimal"   => val (v, _, p) = ColumnCodec.decodeDecimal18(cs); LongsD(v, p)
+    case "timestamp" | "timestamp_ntz" => val (v, p) = ColumnCodec.decodeTimestamp(cs); LongsD(v, p)
+    case "date"      => val (v, p) = ColumnCodec.decodeDate(cs); LongsD(v, p)
+    case "bool"      => val (v, p) = ColumnCodec.decodeBool(cs); BoolsD(v, p)
+    case "double"    => val (v, p) = ColumnCodec.decodeDouble(cs); DoublesD(v, p)
+    case "float"     => val (v, p) = ColumnCodec.decodeFloat(cs); FloatsD(v, p)
+    case "binary"    => val (v, p) = ColumnCodec.decodeBinary(cs); BinsD(v, p)
+    case "string"    => val (v, p) = ColumnCodec.decodeStrBytes(cs); BinsD(v, p)
+  }
+
+  /** Decode one chunk's columns and emit UnsafeRows through a reused
+    * writer. The returned rows alias the writer's buffer — consume each
+    * before calling next() (the contract of every columnar scan in Spark;
+    * buffering operators copy).
+    */
+  private def decodeChunkInternalRows(
+      byCol: Map[String, EncodedChunk], specs: Array[ColumnSpec],
+      writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val nCols = specs.length
-    val colValues = new Array[Array[Any]](nCols) // null-merged, full row_count length
+    val cols = new Array[Decoded](nCols)
     var rowCount = -1
     var i = 0
     while (i < nCols) {
@@ -476,38 +510,42 @@ object TableEncoder {
       if (rowCount < 0) rowCount = chunk.row_count
       require(chunk.row_count == rowCount, s"chunk row_count mismatch on ${specs(i).name}")
       val streams = chunk.streams.map { case (k, v) => k -> ZlibBlock.decompress(v) }
-      val cs = ColumnStreams(chunk.codec, chunk.row_count, chunk.null_count, streams)
-      colValues(i) = decodeColumn(cs, specs(i))
+      cols(i) = decodeColumnPrim(
+        ColumnStreams(chunk.codec, chunk.row_count, chunk.null_count, streams), specs(i))
       i += 1
     }
-    (0 until rowCount).iterator.map { r =>
-      Row.fromSeq((0 until nCols).map(c => colValues(c)(r)))
-    }
-  }
-
-  private def decodeColumn(cs: ColumnStreams, spec: ColumnSpec): Array[Any] = {
-    def merge[T](values: Array[T], present: Array[Boolean]): Array[Any] = {
-      val out = new Array[Any](present.length)
-      var v = 0
-      var i = 0
-      while (i < present.length) {
-        if (present(i)) { out(i) = values(v); v += 1 } else out(i) = null
-        i += 1
+    val cursors = new Array[Int](nCols) // next value index per column (non-null stream)
+    val total = rowCount
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var r = 0
+      def hasNext: Boolean = r < total
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        writer.reset()
+        writer.zeroOutNullBytes()
+        var c = 0
+        while (c < nCols) {
+          cols(c) match {
+            case d: LongsD =>
+              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+              else writer.setNullAt(c)
+            case d: BinsD =>
+              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+              else writer.setNullAt(c)
+            case d: DoublesD =>
+              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+              else writer.setNullAt(c)
+            case d: FloatsD =>
+              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+              else writer.setNullAt(c)
+            case d: BoolsD =>
+              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+              else writer.setNullAt(c)
+          }
+          c += 1
+        }
+        r += 1
+        writer.getRow
       }
-      out
-    }
-    spec.logical match {
-      case "long" if cs.codec == Codecs.ByteRleC =>
-        val (v, p) = ColumnCodec.decodeByte(cs); merge(v.map(b => java.lang.Long.valueOf(b.toLong)), p)
-      case "long"      => val (v, p) = ColumnCodec.decodeLong(cs); merge(v.map(java.lang.Long.valueOf), p)
-      case "decimal"   => val (v, _, p) = ColumnCodec.decodeDecimal18(cs); merge(v.map(java.lang.Long.valueOf), p)
-      case "timestamp" | "timestamp_ntz" => val (v, p) = ColumnCodec.decodeTimestamp(cs); merge(v.map(java.lang.Long.valueOf), p)
-      case "date"      => val (v, p) = ColumnCodec.decodeDate(cs); merge(v.map(java.lang.Long.valueOf), p)
-      case "bool"      => val (v, p) = ColumnCodec.decodeBool(cs); merge(v.map(java.lang.Boolean.valueOf), p)
-      case "double"    => val (v, p) = ColumnCodec.decodeDouble(cs); merge(v.map(java.lang.Double.valueOf), p)
-      case "float"     => val (v, p) = ColumnCodec.decodeFloat(cs); merge(v.map(java.lang.Float.valueOf), p)
-      case "binary"    => val (v, p) = ColumnCodec.decodeBinary(cs); merge(v, p)
-      case "string"    => val (v, p) = ColumnCodec.decodeStrBytes(cs); merge(v, p)
     }
   }
 }

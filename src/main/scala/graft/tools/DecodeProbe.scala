@@ -44,6 +44,12 @@ object DecodeProbe {
       org.apache.spark.sql.graftbridge.Bridge
         .internalCreateDataFrame(spark, d.queryExecution.toRdd, d.schema).count()
     }
+    // repeats at the end: separates JIT/GC order effects from real cost
+    time("readBackColocated #2")(EncodeJob.readBackColocated(spark, tmp, res.specs).count())
+    time("seq + unshred #2") {
+      val chunks = spark.read.parquet(EncodeJob.chunkDir(tmp)).as[graft.spark.EncodedChunk]
+      TableEncoder.unshred(TableEncoder.decodeSequential(chunks, res.specs), res.specs).count()
+    }
     spark.stop()
   }
 }
