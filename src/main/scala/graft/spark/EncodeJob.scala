@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.columns.CodecSelector
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -49,6 +49,27 @@ object EncodeJob {
 
   def chunkDir(outDir: String) = s"$outDir/chunks"
   def manifestDir(outDir: String) = s"$outDir/manifest"
+
+  /** Batch-scoped chunk directory (Hive-style `batch=<id>` so reads see
+    * it as a partition column). A batch's chunks are written here with
+    * Overwrite BEFORE its manifest rows land — the manifest is the commit
+    * point, and a crash between the two leaves an orphan dir that the
+    * resumed run simply overwrites (no duplicate (part_id, chunk_id)
+    * rows, ever) and readers never see (read-back filters to committed
+    * batch ids, which prunes orphan dirs at the scan).
+    */
+  def chunkBatchDir(outDir: String, batchId: Int) = s"${chunkDir(outDir)}/batch=$batchId"
+
+  /** Batch ids whose manifest rows are committed — the only batches a
+    * reader may decode. Empty when no manifest exists yet.
+    */
+  def committedBatches(spark: SparkSession, outDir: String): Set[Int] = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(manifestDir(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else spark.read.parquet(manifestDir(outDir)).select("batch_id").distinct().as[Int].collect().toSet
+  }
 
   /** Pin per-string-column codec decisions from a bounded sample. */
   def pinStringCodecs(df: DataFrame, sampleRows: Int): Map[String, String] = {
@@ -118,12 +139,13 @@ object EncodeJob {
     val t0 = System.nanoTime()
     val chunks = TableEncoder.encode(shredded, specs, cfg.strideRows,
       cfg.chunkTargetBytes, partIdOffset = offset)
-    chunks.write.mode(SaveMode.Append).parquet(chunkDir(cfg.outDir))
+    // Overwrite into the batch-scoped dir: a replay of a half-written
+    // batch replaces the orphan files instead of appending duplicates
+    chunks.write.mode(SaveMode.Overwrite).parquet(chunkBatchDir(cfg.outDir, batchId))
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
-    val summary = spark.read.parquet(chunkDir(cfg.outDir))
+    val summary = spark.read.parquet(chunkBatchDir(cfg.outDir, batchId))
       .select($"part_id", $"row_count", $"raw_bytes", $"encoded_bytes")
-      .filter($"part_id" >= offset && $"part_id" < offset + cfg.numPartitions)
       .groupBy($"part_id")
       .agg(count(lit(1)).as("chunks"), sum($"row_count").as("rows"),
         sum($"raw_bytes").as("raw"), sum($"encoded_bytes").as("enc"))
@@ -181,14 +203,16 @@ object EncodeJob {
           if (cfg.commitBatches == 1) shredded
           else shredded.filter(pmod(spark_partition_id(), lit(cfg.commitBatches)) === b)
         val chunks = TableEncoder.encode(batchDf, specs, cfg.strideRows, cfg.chunkTargetBytes)
-        chunks.write.mode(SaveMode.Append).parquet(chunkDir(cfg.outDir))
+        // Overwrite into the batch dir — replays of an uncommitted batch
+        // replace its orphan files; the manifest append below is the
+        // commit point
+        chunks.write.mode(SaveMode.Overwrite).parquet(chunkBatchDir(cfg.outDir, b))
         val wallMs = (System.nanoTime() - t0) / 1000000L
 
         // manifest rows from metadata columns only — parquet pruning keeps
         // the heavy `streams` column unread
-        val summary = spark.read.parquet(chunkDir(cfg.outDir))
+        val summary = spark.read.parquet(chunkBatchDir(cfg.outDir, b))
           .select($"part_id", $"row_count", $"raw_bytes", $"encoded_bytes")
-          .filter(pmod($"part_id", lit(cfg.commitBatches)) === b)
           .groupBy($"part_id")
           .agg(count(lit(1)).as("chunks"), sum($"row_count").as("rows"),
             sum($"raw_bytes").as("raw"), sum($"encoded_bytes").as("enc"))
@@ -220,12 +244,21 @@ object EncodeJob {
     TableEncoder.columnSpecs(schema, codecs)
   }
 
-  /** Read encoded chunks back into the original table shape. */
-  def readBack(spark: SparkSession, outDir: String, specs: Array[ColumnSpec]): DataFrame = {
+  /** Chunk rows of committed batches only. The `batch` partition-column
+    * filter prunes whole orphan directories at the scan — uncommitted or
+    * half-written batches are invisible to every reader.
+    */
+  private def committedChunks(spark: SparkSession, outDir: String): Dataset[EncodedChunk] = {
     import spark.implicits._
-    val chunks = spark.read.parquet(chunkDir(outDir)).as[EncodedChunk]
-    TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
+    val committed = committedBatches(spark, outDir)
+    spark.read.parquet(chunkDir(outDir))
+      .filter(col("batch").isInCollection(committed.toSeq.map(Integer.valueOf)))
+      .as[EncodedChunk]
   }
+
+  /** Read encoded chunks back into the original table shape. */
+  def readBack(spark: SparkSession, outDir: String, specs: Array[ColumnSpec]): DataFrame =
+    TableEncoder.unshred(TableEncoder.decode(committedChunks(spark, outDir), specs), specs)
 
   /** Shuffle-free read-back: pins file-split confs for this read so every
     * Spark partition covers exactly one whole chunk file (the writer
@@ -250,12 +283,16 @@ object EncodeJob {
       // bin as soon as one file + one opening cost fills it)
       val dir = new org.apache.hadoop.fs.Path(chunkDir(outDir))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val largest = fs.listStatus(dir).iterator
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-        .map(_.getLen).foldLeft(1L)(math.max)
+      var largest = 1L
+      val it = fs.listFiles(dir, /* recursive into batch= dirs */ true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && !s.getPath.getName.startsWith("_"))
+          largest = math.max(largest, s.getLen)
+      }
       conf.set("spark.sql.files.maxPartitionBytes", largest.toString)
       conf.set("spark.sql.files.openCostInBytes", largest.toString)
-      val chunks = spark.read.parquet(chunkDir(outDir)).as[EncodedChunk]
+      val chunks = committedChunks(spark, outDir)
       // decodeSequential plans the scan eagerly (it materializes the RDD
       // lineage under the hood), so the file-split decision is pinned
       // while the conf window is open; later actions cannot re-split

@@ -113,32 +113,47 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EncodeJob.readBack(spark, out, r2.specs).count() == 3000)
   }
 
-  test("partial resume: only missing batches re-encode") {
+  test("partial resume: crash between chunk write and manifest commit leaves no duplicates") {
     val pages = WebGen.pages(spark, 2000, seed = 11, partitions = 4).toDF()
     val out = s"$tmp/partial"
     val cfg = EncodeJob.Config(out, numPartitions = 4, keyColumn = Some("lang"), commitBatches = 2)
     EncodeJob.run(pages, cfg)
 
-    // surgically remove batch 1's commit (as if the job died mid-way):
-    // rewrite manifest with only batch 0 rows, and drop batch-1 chunks
+    // simulate a run killed AFTER batch 1's chunk files landed but BEFORE
+    // its manifest rows committed: rewrite the manifest with only batch 0,
+    // leaving batch=1's chunk dir as an orphan on disk
     val stableSpark = spark
     import stableSpark.implicits._
     val manifest = spark.read.parquet(EncodeJob.manifestDir(out)).as[ManifestEntry].collect()
-    val chunks = spark.read.parquet(EncodeJob.chunkDir(out)).as[EncodedChunk]
-      .filter(c => c.part_id % 2 == 0).collect()
-    val fs = new java.io.File(out)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    rm(fs)
-    spark.createDataset(chunks.toIndexedSeq).write.parquet(EncodeJob.chunkDir(out))
+    rm(new java.io.File(EncodeJob.manifestDir(out)))
     spark.createDataset(manifest.filter(_.batch_id == 0).toIndexedSeq)
       .write.parquet(EncodeJob.manifestDir(out))
+
+    // a reader between the crash and the resume must not see orphan rows
+    val visibleBefore = EncodeJob.readBack(spark, out, EncodeJob.specsFromManifest(
+      spark, out, pages.schema)).count()
+    assert(visibleBefore < 2000, s"orphan batch visible to readers: $visibleBefore rows")
 
     val r = EncodeJob.run(pages, cfg)
     assert(r.batchesEncoded == 1 && r.batchesSkipped == 1, s"$r")
     assert(EncodeJob.readBack(spark, out, r.specs).count() == 2000)
+
+    // the replayed batch must have REPLACED the orphan files: every
+    // (part_id, chunk_id, column) appears exactly once
+    val dupes = spark.read.parquet(EncodeJob.chunkDir(out))
+      .groupBy("part_id", "chunk_id", "column").count()
+      .filter(col("count") > 1).count()
+    assert(dupes == 0, s"$dupes duplicate chunk rows after resume")
+
+    // manifest byte/row totals must reflect the replaced chunks, not the
+    // orphans doubled
+    val totalRows = spark.read.parquet(EncodeJob.manifestDir(out))
+      .agg(sum(col("row_count"))).first().getLong(0)
+    assert(totalRows == 2000, s"manifest rows $totalRows != 2000")
   }
 
   test("lineitem (TPC-H shape): full round trip through encode/decode") {
