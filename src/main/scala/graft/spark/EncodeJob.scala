@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.columns.CodecSelector
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -42,7 +42,21 @@ object EncodeJob {
       sampleRows: Int = 20000,
       strideRows: Int = TableEncoder.DefaultStrideRows,
       chunkTargetBytes: Long = TableEncoder.DefaultChunkTargetBytes,
-      commitBatches: Int = 1)
+      commitBatches: Int = 1,
+      // per-row column the salt is hashed from (must be stable across
+      // runs for resume determinism); None → first string column ≠ key,
+      // else the whole row
+      saltColumn: Option[String] = None,
+      // fraction of the key column sampled for the skew histogram; the
+      // relative frequencies are all that matter, so 0.1% is plenty at
+      // web scale. Tiny inputs (sampled rows < SaltSampleFloor) fall
+      // back to an exact narrow scan.
+      saltSampleFraction: Double = 0.001)
+
+  /** Below this many sampled rows the frequency estimate is noise —
+    * rescan the (narrow) key column exactly instead.
+    */
+  final val SaltSampleFloor = 5000L
 
   final case class Result(specs: Array[ColumnSpec], chunkDir: String, manifestDir: String,
                           batchesEncoded: Int, batchesSkipped: Int)
@@ -85,22 +99,37 @@ object EncodeJob {
 
   /** Explicit partitioning with skew salting. Deterministic across runs
     * for the same input (required for batch resume): the salt is a hash
-    * of the full row, bucketed per key value by sampled frequency.
+    * of a cheap stable per-row column, bucketed per key value by SAMPLED
+    * frequency — at 100 TB neither a full-input frequency scan nor
+    * hashing every multi-KB html blob per row is acceptable (both were
+    * round-1 findings). The histogram pass projects ONLY the key column
+    * (pruning reaches the source scan) and samples it; only relative
+    * frequencies are used, so the sample scale cancels out.
     */
   def partitionWithSalt(df: DataFrame, cfg: Config): DataFrame = cfg.keyColumn match {
     case None => df.repartition(cfg.numPartitions)
     case Some(key) =>
-      val freqs = df.groupBy(col(key)).count()
-        .orderBy(desc("count")).limit(100).collect()
-        .flatMap(r => if (r.isNullAt(0)) None else Some(r.get(0).toString -> r.getLong(1)))
+      def histogram(src: DataFrame): Array[(String, Long)] =
+        src.groupBy(col(key)).count()
+          .orderBy(desc("count")).limit(100).collect()
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.get(0).toString -> r.getLong(1)))
+      val keyOnly = df.select(col(key))
+      var freqs = histogram(keyOnly.sample(withReplacement = false, cfg.saltSampleFraction, seed = 42))
+      if (freqs.map(_._2).sum < SaltSampleFloor) freqs = histogram(keyOnly) // tiny input: exact
       val total = math.max(1L, freqs.map(_._2).sum)
       // heavy keys get proportionally many buckets; everything else 1
       val saltExpr = freqs.foldLeft(lit(1)) { case (acc, (v, c)) =>
         val n = math.max(1, math.ceil(c.toDouble / total * cfg.numPartitions).toInt)
         when(col(key) === lit(v), lit(n)).otherwise(acc)
       }
-      df.withColumn("__salt",
-          pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), saltExpr.cast("long")))
+      // salt source: a cheap stable column (url-like), never the whole
+      // row — hashing every html blob to derive one bucket id was ~6 KB
+      // of hashing per row
+      val saltSource: Column = cfg.saltColumn
+        .orElse(df.schema.fields.find(f => f.dataType == StringType && f.name != key).map(_.name))
+        .map(c => xxhash64(col(c)))
+        .getOrElse(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))
+      df.withColumn("__salt", pmod(saltSource, saltExpr.cast("long")))
         .repartition(cfg.numPartitions, col(key), col("__salt"))
         .drop("__salt")
   }

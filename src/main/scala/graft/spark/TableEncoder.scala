@@ -2,7 +2,7 @@ package graft.spark
 
 import graft.core.{ByteBuf, BytesIn, ZlibBlock}
 import graft.columns._
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.collection.mutable.ArrayBuffer
@@ -168,42 +168,96 @@ object TableEncoder {
     }
   }
 
+  /** True/false counts like the reference's BooleanWriterStatistics;
+    * min/max rendered 0/1 so boolean predicates can prune, sum = count
+    * of trues.
+    */
   private final class BoolColBuf extends ColBuf {
     private val values = new graft.core.BoolBuf(1024)
+    private var trues = 0L
     def add(row: Row, i: Int): Unit = {
       rows += 1
       if (row.isNullAt(i)) present.add(false)
-      else { present.add(true); values.add(row.getBoolean(i)); rawBytes += 1 }
+      else {
+        present.add(true)
+        val v = row.getBoolean(i)
+        if (v) trues += 1
+        values.add(v)
+        rawBytes += 1
+      }
     }
     def encode(): ColumnStreams = ColumnCodec.encodeBool(values.toArray, present.toArray)
-    def minMax: (Option[String], Option[String]) = (None, None)
-    override def clear(): Unit = { super.clear(); values.clear() }
+    def minMax: (Option[String], Option[String]) =
+      if (values.length == 0) (None, None)
+      else (Some(if (trues < values.length) "0" else "1"), Some(if (trues > 0) "1" else "0"))
+    override def sumVal: Option[Long] = if (values.length == 0) None else Some(trues)
+    override def clear(): Unit = { super.clear(); values.clear(); trues = 0L }
   }
 
+  /** Min/max like DoubleWriterStatistics.cs — NaN values are excluded
+    * from the range (a NaN min/max would poison every pruning compare).
+    */
   private final class DoubleColBuf extends ColBuf {
     private val values = new graft.core.DoubleBuf(1024)
+    private var mn = Double.PositiveInfinity
+    private var mx = Double.NegativeInfinity
+    private var sawFinite = false
     def add(row: Row, i: Int): Unit = {
       rows += 1
       if (row.isNullAt(i)) present.add(false)
-      else { present.add(true); values.add(row.getDouble(i)); rawBytes += 8 }
+      else {
+        present.add(true)
+        val v = row.getDouble(i)
+        if (!v.isNaN) {
+          sawFinite = true
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        values.add(v)
+        rawBytes += 8
+      }
     }
     def encode(): ColumnStreams = ColumnCodec.encodeDouble(values.toArray, present.toArray)
-    def minMax: (Option[String], Option[String]) = (None, None)
-    override def clear(): Unit = { super.clear(); values.clear() }
+    def minMax: (Option[String], Option[String]) =
+      if (!sawFinite) (None, None) else (Some(mn.toString), Some(mx.toString))
+    override def clear(): Unit = {
+      super.clear(); values.clear()
+      mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sawFinite = false
+    }
   }
 
   private final class FloatColBuf extends ColBuf {
     private val values = new graft.core.FloatBuf(1024)
+    private var mn = Float.PositiveInfinity
+    private var mx = Float.NegativeInfinity
+    private var sawFinite = false
     def add(row: Row, i: Int): Unit = {
       rows += 1
       if (row.isNullAt(i)) present.add(false)
-      else { present.add(true); values.add(row.getFloat(i)); rawBytes += 4 }
+      else {
+        present.add(true)
+        val v = row.getFloat(i)
+        if (!v.isNaN) {
+          sawFinite = true
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        values.add(v)
+        rawBytes += 4
+      }
     }
     def encode(): ColumnStreams = ColumnCodec.encodeFloat(values.toArray, present.toArray)
-    def minMax: (Option[String], Option[String]) = (None, None)
-    override def clear(): Unit = { super.clear(); values.clear() }
+    def minMax: (Option[String], Option[String]) =
+      if (!sawFinite) (None, None) else (Some(mn.toString), Some(mx.toString))
+    override def clear(): Unit = {
+      super.clear(); values.clear()
+      mn = Float.PositiveInfinity; mx = Float.NegativeInfinity; sawFinite = false
+    }
   }
 
+  /** Length-sum statistic (BinaryWriterStatistics' SumValues) via
+    * sum_val; no value range for opaque bytes.
+    */
   private final class BinaryColBuf extends ColBuf {
     private val values = new ArrayBuffer[Array[Byte]]()
     def add(row: Row, i: Int): Unit = {
@@ -218,6 +272,7 @@ object TableEncoder {
     }
     def encode(): ColumnStreams = ColumnCodec.encodeBinary(values.toArray, present.toArray)
     def minMax: (Option[String], Option[String]) = (None, None)
+    override def sumVal: Option[Long] = if (values.isEmpty) None else Some(rawBytes)
     override def clear(): Unit = { super.clear(); values.clear() }
   }
 
@@ -258,6 +313,9 @@ object TableEncoder {
     def minMax: (Option[String], Option[String]) =
       (Option(mn).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)),
         Option(mx).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)))
+    // StringWriterStatistics.cs:9-60 sums value lengths; rawBytes is
+    // exactly the summed UTF-8 length of the non-null values
+    override def sumVal: Option[Long] = if (values.isEmpty) None else Some(rawBytes)
     override def clear(): Unit = { super.clear(); values.clear(); mn = null; mx = null }
   }
 
@@ -434,16 +492,37 @@ object TableEncoder {
     * afterwards.
     */
   def decodePruned(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
-                   column: String, lo: Long, hi: Long): DataFrame = {
+                   column: String, lo: Long, hi: Long): DataFrame =
+    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), LongType)
+
+  /** Range-prune on a double/float column's stats. */
+  def decodePrunedDouble(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                         column: String, lo: Double, hi: Double): DataFrame =
+    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), DoubleType)
+
+  /** Range-prune on a string column's stats (lexicographic bounds). */
+  def decodePrunedString(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                         column: String, lo: String, hi: String): DataFrame =
+    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), StringType)
+
+  private def decodePrunedTyped(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                                column: String, lo: Column, hi: Column,
+                                statType: DataType): DataFrame = {
     import chunks.sparkSession.implicits._
     // column-based (untyped) predicate: a typed lambda filter would
     // deserialize whole EncodedChunk objects — including the stream
     // blobs — just to read four metadata fields; this way pruning +
-    // pushdown reach the scan and the keep-set pass never touches blobs
+    // pushdown reach the scan and the keep-set pass never touches blobs.
+    // coalesce(..., true): null stats — absent, or uncastable to the
+    // stat type (e.g. pruning a string column's stats as long, where
+    // try_cast yields null instead of an ANSI cast error) — must KEEP
+    // the chunk (conservative full scan), never silently drop it.
+    val overlap = coalesce(
+      !(col("max_val").try_cast(statType.sql) < lo.cast(statType) ||
+        col("min_val").try_cast(statType.sql) > hi.cast(statType)),
+      lit(true))
     val keep = chunks.toDF()
-      .filter(col("column") === column &&
-        (col("min_val").isNull || col("max_val").isNull ||
-          !(col("max_val").cast(LongType) < lo || col("min_val").cast(LongType) > hi)))
+      .filter(col("column") === column && overlap)
       .select("part_id", "chunk_id")
     val pruned = chunks
       .join(org.apache.spark.sql.functions.broadcast(keep), Seq("part_id", "chunk_id"), "left_semi")

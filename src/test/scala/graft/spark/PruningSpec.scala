@@ -46,6 +46,54 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("decodePrunedDouble prunes on a double column's min/max") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice").cast("double").as("price"))
+    val clustered = li.repartitionByRange(4, col("price")).sortWithinPartitions("price")
+    val specs = TableEncoder.columnSpecs(clustered.schema, Map.empty)
+    val chunks = TableEncoder.encode(TableEncoder.shred(clustered, specs), specs, strideRows = 500)
+      .persist()
+
+    val lo = 10000.0; val hi = 20000.0
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePrunedDouble(chunks, specs, "price", lo, hi), specs)
+    val exact = decoded.filter(col("price").between(lo, hi))
+    val expected = li.filter(col("price").between(lo, hi))
+    assert(exact.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(exact).count() == 0)
+    assert(decoded.count() < li.count(), "double-stat pruning removed nothing")
+    chunks.unpersist()
+  }
+
+  test("pruning on a column with non-numeric stats keeps chunks (conservative), never drops them") {
+    // string stats can't cast to long; the overlap predicate must
+    // evaluate to KEEP, not null-drop — a silent-missing-rows bug class
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs, strideRows = 1000)
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePruned(chunks, specs, "l_returnflag", 0L, 1L), specs)
+    assert(decoded.count() == df.count(),
+      "long-range pruning on a string column must keep every chunk")
+  }
+
+  test("string/binary/bool columns carry length-sum and true-count stats") {
+    val df = spark.range(0, 2000).select(
+      col("id"),
+      concat(lit("v"), col("id")).as("s"),
+      (col("id") % 3 === 0).as("flag"),
+      concat(lit("b"), col("id")).cast("binary").as("bin"))
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    val byCol = TableEncoder.encode(TableEncoder.shred(df, specs), specs)
+      .collect().groupBy(_.column)
+    val expectedLen = (0L until 2000L).map(i => 1 + i.toString.length).sum
+    assert(byCol("s").flatMap(_.sum_val).sum == expectedLen)
+    assert(byCol("bin").flatMap(_.sum_val).sum == expectedLen)
+    assert(byCol("flag").flatMap(_.sum_val).sum == (0L until 2000L).count(_ % 3 == 0))
+    assert(byCol("flag").forall(c => c.min_val.contains("0") && c.max_val.contains("1")))
+  }
+
   test("byte columns route through ByteRLE and carry sum stats") {
     val df = spark.range(0, 3000)
       .select(col("id"), (col("id") % 100).cast("byte").as("b"))
