@@ -65,16 +65,20 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // chunk pruning: cluster on the key, encode, then decode ONLY chunks
-    // whose [min,max] stats overlap the predicate — the per-stride stats
-    // of the reference (SURVEY §2.5) actually exploited
+    // stats pruning at two granularities: whole chunks whose [min,max]
+    // miss the predicate are never decoded, and WITHIN a partially-
+    // overlapping chunk the per-stride row index skips non-matching
+    // strides at materialization — the reference's RowIndex (SURVEY
+    // §2.5) actually exploited, at DEFAULT chunk size (small chunks
+    // would multiply zlib/dict/FSST fixed costs; round-1 finding)
     "rt_pruned" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
-      val clustered = li.repartitionByRange(8, col("l_orderkey"))
+      val clustered = li.repartitionByRange(2, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")
       val codecs = EncodeJob.pinStringCodecs(li, 5000)
       val specs = TableEncoder.columnSpecs(li.schema, codecs)
-      val chunks = TableEncoder.encode(TableEncoder.shred(clustered, specs), specs, strideRows = 2000)
+      val chunks = TableEncoder.encode(TableEncoder.shred(clustered, specs), specs,
+        indexStrideRows = 2000)
       TableEncoder.unshred(
           TableEncoder.decodePruned(chunks, specs, "l_orderkey", 1000L, 2000L), specs)
         .filter(col("l_orderkey").between(1000, 2000))

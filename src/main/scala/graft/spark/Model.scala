@@ -19,7 +19,14 @@ final case class EncodedChunk(
     encoded_bytes: Long,
     min_val: Option[String],
     max_val: Option[String],
-    sum_val: Option[Long])
+    sum_val: Option[Long],
+    // Sub-chunk row index (the reference's RowIndex granularity,
+    // StripeWriter.cs:64-65,107-121): per-stride min/max every
+    // `stride_rows` rows for long-family columns. Strides with no
+    // non-null values carry (Long.MinValue, Long.MaxValue) = always-keep.
+    stride_rows: Int = 0,
+    stride_mins: Option[Seq[Long]] = None,
+    stride_maxs: Option[Seq[Long]] = None)
 
 /** Per-partition lineage + metrics row, the manifest/commit-log analogue
   * of the reference's Footer/Metadata tail (OrcWriter.cs:57-98). A

@@ -32,6 +32,13 @@ object TableEncoder {
   final val DefaultStrideRows = 1 << 20
   final val DefaultChunkTargetBytes = 32L * 1024 * 1024 // bounded executor memory per buffer
 
+  /** Row-index granularity WITHIN a chunk (the reference's 10k-row
+    * stride, WriterConfiguration.cs:29): per-stride min/max let
+    * decodePruned skip most of a partially-overlapping chunk without
+    * shrinking chunks (small chunks multiply zlib/dict/FSST fixed costs).
+    */
+  final val DefaultIndexStrideRows = 10000
+
   // ---------- shredding: Spark types → codec-ready physical columns ----------
 
   /** Columns are pre-converted with codegen'd expressions (unix_micros,
@@ -118,17 +125,33 @@ object TableEncoder {
     def encode(): ColumnStreams
     def minMax: (Option[String], Option[String])
     def sumVal: Option[Long] = None
+    /** Per-stride (min, max) arrays — long-family columns only. */
+    def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = (None, None)
     def clear(): Unit = { rows = 0; rawBytes = 0L; present.clear() }
   }
 
-  private final class LongColBuf(codecTag: String) extends ColBuf {
+  private final class LongColBuf(codecTag: String, indexStride: Int) extends ColBuf {
     private val values = new graft.core.LongBuf(1024)
     private var mn = Long.MaxValue
     private var mx = Long.MinValue
     private var sum = 0L
     private var sumOverflowed = false
+    // per-stride row index: closed strides + the currently-open one
+    private val sMins = new ArrayBuffer[Long]()
+    private val sMaxs = new ArrayBuffer[Long]()
+    private var strideMn = Long.MaxValue
+    private var strideMx = Long.MinValue
+    private var rowsInStride = 0
+    private def closeStride(): Unit = {
+      // empty stride (all nulls) → always-keep sentinel range
+      if (strideMn == Long.MaxValue && strideMx == Long.MinValue) {
+        sMins += Long.MinValue; sMaxs += Long.MaxValue
+      } else { sMins += strideMn; sMaxs += strideMx }
+      strideMn = Long.MaxValue; strideMx = Long.MinValue; rowsInStride = 0
+    }
     def add(row: Row, i: Int): Unit = {
       rows += 1
+      rowsInStride += 1
       if (row.isNullAt(i)) present.add(false)
       else {
         present.add(true)
@@ -136,12 +159,24 @@ object TableEncoder {
         values.add(v)
         if (v < mn) mn = v
         if (v > mx) mx = v
+        if (v < strideMn) strideMn = v
+        if (v > strideMx) strideMx = v
         val prev = sum
         sum += v
         // overflow-checked sum like LongWriterStatistics.cs:9-76
         if (((prev ^ sum) & (v ^ sum)) < 0) sumOverflowed = true
         rawBytes += 8
       }
+      if (rowsInStride == indexStride) closeStride()
+    }
+    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = {
+      if (rows == 0) return (None, None)
+      // snapshot without mutating (flush reads this, then clear() resets)
+      val mins = sMins.toVector ++ (if (rowsInStride > 0)
+        Vector(if (strideMn == Long.MaxValue) Long.MinValue else strideMn) else Vector.empty)
+      val maxs = sMaxs.toVector ++ (if (rowsInStride > 0)
+        Vector(if (strideMx == Long.MinValue) Long.MaxValue else strideMx) else Vector.empty)
+      (Some(mins), Some(maxs))
     }
     def encode(): ColumnStreams = codecTag match {
       case "timestamp" => ColumnCodec.encodeTimestamp(values.toArray, present.toArray)
@@ -165,6 +200,8 @@ object TableEncoder {
     override def clear(): Unit = {
       super.clear(); values.clear(); mn = Long.MaxValue; mx = Long.MinValue
       sum = 0L; sumOverflowed = false
+      sMins.clear(); sMaxs.clear()
+      strideMn = Long.MaxValue; strideMx = Long.MinValue; rowsInStride = 0
     }
   }
 
@@ -319,12 +356,12 @@ object TableEncoder {
     override def clear(): Unit = { super.clear(); values.clear(); mn = null; mx = null }
   }
 
-  private def newBuf(spec: ColumnSpec): ColBuf = spec.logical match {
-    case "long" if spec.narrow == "byte" => new LongColBuf("byte")
-    case "long"             => new LongColBuf("long")
-    case "timestamp" | "timestamp_ntz" => new LongColBuf("timestamp")
-    case "decimal"          => new LongColBuf("decimal:" + spec.narrow.split(',')(1))
-    case "date"             => new LongColBuf("date")
+  private def newBuf(spec: ColumnSpec, indexStride: Int): ColBuf = spec.logical match {
+    case "long" if spec.narrow == "byte" => new LongColBuf("byte", indexStride)
+    case "long"             => new LongColBuf("long", indexStride)
+    case "timestamp" | "timestamp_ntz" => new LongColBuf("timestamp", indexStride)
+    case "decimal"          => new LongColBuf("decimal:" + spec.narrow.split(',')(1), indexStride)
+    case "date"             => new LongColBuf("date", indexStride)
     case "bool"             => new BoolColBuf
     case "double"           => new DoubleColBuf
     case "float"            => new FloatColBuf
@@ -356,7 +393,8 @@ object TableEncoder {
   def encode(shredded: DataFrame, specs: Array[ColumnSpec],
              strideRows: Int = DefaultStrideRows,
              chunkTargetBytes: Long = DefaultChunkTargetBytes,
-             partIdOffset: Int = 0): Dataset[EncodedChunk] = {
+             partIdOffset: Int = 0,
+             indexStrideRows: Int = DefaultIndexStrideRows): Dataset[EncodedChunk] = {
     val spark = shredded.sparkSession
     import spark.implicits._
     val specsB = spark.sparkContext.broadcast(specs)
@@ -365,7 +403,7 @@ object TableEncoder {
 
     withPid.mapPartitions { rows =>
       val sp = specsB.value
-      val bufs = sp.map(newBuf)
+      val bufs = sp.map(newBuf(_, indexStrideRows))
       var pid = -1
       var chunkId = 0
       var firstRow = 0L
@@ -379,10 +417,12 @@ object TableEncoder {
             val cs = bufs(i).encode()
             val zstreams = cs.streams.map { case (k, v) => k -> ZlibBlock.compress(v) }
             val (mn, mx) = bufs(i).minMax
+            val (sMins, sMaxs) = bufs(i).strideStats
             EncodedChunk(pid, chunkId, firstRow, sp(i).name, cs.codec,
               cs.rowCount, cs.nullCount, zstreams,
               bufs(i).rawBytes, zstreams.valuesIterator.map(_.length.toLong).sum, mn, mx,
-              bufs(i).sumVal)
+              bufs(i).sumVal,
+              if (sMins.isDefined) indexStrideRows else 0, sMins, sMaxs)
           }.toArray
           firstRow += rowsInChunk
           chunkId += 1
@@ -426,11 +466,12 @@ object TableEncoder {
     * Tungsten shuffle format — no object serialization of the blobs)
     * and decoded by the same adjacency grouper as the zero-shuffle path.
     */
-  def decode(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame =
+  def decode(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+             stridePrune: Option[(String, Long, Long)] = None): DataFrame =
     decodeAdjacent(
       chunks.repartition(col("part_id"), col("chunk_id"))
         .sortWithinPartitions("part_id", "chunk_id"),
-      specs)
+      specs, stridePrune)
 
   /** Zero-shuffle decode for chunks whose layout preserves the writer's
     * row order: the encode task emits all of a chunk's column rows
@@ -451,7 +492,8 @@ object TableEncoder {
     * no per-value boxing and no Row→InternalRow encoder pass (the old
     * Row.fromSeq path was 4.5× slower than encode at 32 cores).
     */
-  private def decodeAdjacent(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame = {
+  private def decodeAdjacent(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                             stridePrune: Option[(String, Long, Long)] = None): DataFrame = {
     val spark = chunks.sparkSession
     val specsB = spark.sparkContext.broadcast(specs)
     val schema = physicalSchema(specs)
@@ -474,7 +516,7 @@ object TableEncoder {
                 s"interleaved chunk groups: (${first.part_id},${first.chunk_id}) vs (${c.part_id},${c.chunk_id})")
               group(c.column) = c
             }
-            pending = decodeChunkInternalRows(group.toMap, sp, writer)
+            pending = decodeChunkInternalRows(group.toMap, sp, writer, stridePrune)
           }
         }
         def hasNext: Boolean = { fill(); pending.hasNext }
@@ -493,7 +535,8 @@ object TableEncoder {
     */
   def decodePruned(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
                    column: String, lo: Long, hi: Long): DataFrame =
-    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), LongType)
+    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), LongType,
+      stridePrune = Some((column, lo, hi)))
 
   /** Range-prune on a double/float column's stats. */
   def decodePrunedDouble(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
@@ -507,7 +550,8 @@ object TableEncoder {
 
   private def decodePrunedTyped(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
                                 column: String, lo: Column, hi: Column,
-                                statType: DataType): DataFrame = {
+                                statType: DataType,
+                                stridePrune: Option[(String, Long, Long)] = None): DataFrame = {
     import chunks.sparkSession.implicits._
     // column-based (untyped) predicate: a typed lambda filter would
     // deserialize whole EncodedChunk objects — including the stream
@@ -527,7 +571,7 @@ object TableEncoder {
     val pruned = chunks
       .join(org.apache.spark.sql.functions.broadcast(keep), Seq("part_id", "chunk_id"), "left_semi")
       .as[EncodedChunk]
-    decode(pruned, specs)
+    decode(pruned, specs, stridePrune)
   }
 
   /** Physical (shredded) schema for decode output. */
@@ -578,7 +622,8 @@ object TableEncoder {
     */
   private def decodeChunkInternalRows(
       byCol: Map[String, EncodedChunk], specs: Array[ColumnSpec],
-      writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter)
+      writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter,
+      stridePrune: Option[(String, Long, Long)] = None)
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val nCols = specs.length
     val cols = new Array[Decoded](nCols)
@@ -593,12 +638,37 @@ object TableEncoder {
         ColumnStreams(chunk.codec, chunk.row_count, chunk.null_count, streams), specs(i))
       i += 1
     }
+    // sub-chunk skipping: strides of the pruning column whose [min,max]
+    // cannot overlap [lo,hi] are skipped at materialization (rows never
+    // built, nothing emitted downstream) — the reference's RowIndex
+    // purpose, which its own reader never exploits
+    var strideN = 0
+    var strideKeep: Array[Boolean] = null
+    stridePrune.foreach { case (colName, lo, hi) =>
+      byCol.get(colName).foreach { c =>
+        if (c.stride_rows > 0 && c.stride_mins.isDefined && c.stride_maxs.isDefined) {
+          val mins = c.stride_mins.get.toArray
+          val maxs = c.stride_maxs.get.toArray
+          strideN = c.stride_rows
+          strideKeep = Array.tabulate(mins.length)(s => !(maxs(s) < lo || mins(s) > hi))
+        }
+      }
+    }
     val cursors = new Array[Int](nCols) // next value index per column (non-null stream)
     val total = rowCount
     new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
       private var r = 0
-      def hasNext: Boolean = r < total
+      // advance past rows of pruned strides, keeping value cursors exact
+      private def align(): Unit = if (strideKeep != null) {
+        while (r < total && !strideKeep(r / strideN)) {
+          var c = 0
+          while (c < nCols) { if (cols(c).present(r)) cursors(c) += 1; c += 1 }
+          r += 1
+        }
+      }
+      def hasNext: Boolean = { align(); r < total }
       def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        align()
         writer.reset()
         writer.zeroOutNullBytes()
         var c = 0

@@ -46,6 +46,39 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("stride-level row index skips inside a partially-overlapping chunk at default chunk size") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val clustered = li.repartitionByRange(2, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+    val specs = TableEncoder.columnSpecs(li.schema, Map.empty)
+    // DEFAULT chunk size (one chunk per partition here) with a fine
+    // index stride: pruning must act BELOW chunk granularity
+    val chunks = TableEncoder.encode(TableEncoder.shred(clustered, specs), specs,
+      indexStrideRows = 200).persist()
+    val chunkGroups = chunks.filter(col("column") === "l_orderkey").count()
+
+    val lo = 500L; val hi = 700L
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePruned(chunks, specs, "l_orderkey", lo, hi), specs).persist()
+
+    // exactness: superset restricted by the predicate equals the source
+    val exact = decoded.filter(col("l_orderkey").between(lo, hi))
+    val expected = li.filter(col("l_orderkey").between(lo, hi))
+    assert(exact.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(exact).count() == 0)
+
+    // sub-chunk evidence: emitted rows < the kept CHUNKS' row_count, so
+    // skipping happened below chunk granularity
+    val keptChunkRows = chunks.filter(col("column") === "l_orderkey" &&
+        !(col("max_val").cast("long") < lo || col("min_val").cast("long") > hi))
+      .agg(sum(col("row_count"))).first().getLong(0)
+    val emitted = decoded.count()
+    assert(emitted < keptChunkRows,
+      s"no sub-chunk skipping: emitted $emitted == kept-chunk rows $keptChunkRows (groups=$chunkGroups)")
+    // and every expected row survived the skipping
+    assert(emitted >= expected.count())
+    decoded.unpersist(); chunks.unpersist()
+  }
+
   test("decodePrunedDouble prunes on a double column's min/max") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_extendedprice").cast("double").as("price"))
