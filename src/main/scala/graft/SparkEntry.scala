@@ -85,6 +85,19 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // columnar projection pushdown: decode ONLY 2 of 11 columns — the
+    // other columns' stream blobs are never decompressed or value-decoded
+    "rt_subset" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val codecs = EncodeJob.pinStringCodecs(li, 5000)
+      val specs = TableEncoder.columnSpecs(li.schema, codecs)
+      val chunks = TableEncoder.encode(TableEncoder.shred(li, specs), specs)
+      TableEncoder.unshred(
+          TableEncoder.decodeColumns(chunks, specs, Seq("l_orderkey", "l_extendedprice")),
+          TableEncoder.subsetSpecs(specs, Seq("l_orderkey", "l_extendedprice")))
+        .orderBy("l_orderkey", "l_extendedprice")
+    }),
+
     // ---- analytics over the star schema (oracle-checked) ----
     // Final DECIMAL columns are rendered as STRING at a pinned scale on
     // BOTH sides: the driver's hash is sensitive to the decimal physical
@@ -300,6 +313,8 @@ object SparkEntry {
     "rt_orders" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "rt_pruned" ->
       "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 ORDER BY l_orderkey, l_linenumber",
+    "rt_subset" ->
+      "SELECT l_orderkey, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_extendedprice",
     "rt_alltypes" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(l_linenumber AS TINYINT) AS v_byte,

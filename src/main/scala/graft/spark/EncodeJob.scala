@@ -285,9 +285,19 @@ object EncodeJob {
       .as[EncodedChunk]
   }
 
-  /** Read encoded chunks back into the original table shape. */
-  def readBack(spark: SparkSession, outDir: String, specs: Array[ColumnSpec]): DataFrame =
-    TableEncoder.unshred(TableEncoder.decode(committedChunks(spark, outDir), specs), specs)
+  /** Read encoded chunks back into the original table shape. Pass
+    * `columns` to decode a subset (columnar projection pushdown: the
+    * other columns' blobs are never decompressed or shuffled).
+    */
+  def readBack(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
+               columns: Option[Seq[String]] = None): DataFrame = columns match {
+    case None =>
+      TableEncoder.unshred(TableEncoder.decode(committedChunks(spark, outDir), specs), specs)
+    case Some(cols) =>
+      val subset = TableEncoder.subsetSpecs(specs, cols)
+      TableEncoder.unshred(
+        TableEncoder.decodeColumns(committedChunks(spark, outDir), specs, cols), subset)
+  }
 
   /** Shuffle-free read-back: pins file-split confs for this read so every
     * Spark partition covers exactly one whole chunk file (the writer
@@ -300,7 +310,8 @@ object EncodeJob {
     * local[32] from straggler partitions.
     */
   def readBackColocated(spark: SparkSession, outDir: String,
-                        specs: Array[ColumnSpec]): DataFrame = {
+                        specs: Array[ColumnSpec],
+                        columns: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.conf
     val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
@@ -322,11 +333,19 @@ object EncodeJob {
       conf.set("spark.sql.files.maxPartitionBytes", largest.toString)
       conf.set("spark.sql.files.openCostInBytes", largest.toString)
       val chunks = committedChunks(spark, outDir)
+      // column-subset filtering preserves per-group adjacency (a subset
+      // of consecutive rows stays consecutive), so the sequential
+      // grouper handles projections without any layout change
+      val (effChunks, effSpecs) = columns match {
+        case None       => (chunks, specs)
+        case Some(cols) => (chunks.filter(col("column").isInCollection(cols)).as[EncodedChunk],
+          TableEncoder.subsetSpecs(specs, cols))
+      }
       // decodeSequential plans the scan eagerly (it materializes the RDD
       // lineage under the hood), so the file-split decision is pinned
       // while the conf window is open; later actions cannot re-split
-      val decoded = TableEncoder.decodeSequential(chunks, specs)
-      TableEncoder.unshred(decoded, specs)
+      val decoded = TableEncoder.decodeSequential(effChunks, effSpecs)
+      TableEncoder.unshred(decoded, effSpecs)
     } finally {
       prevMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(v =>
         conf.set("spark.sql.files.maxPartitionBytes", v))

@@ -473,6 +473,29 @@ object TableEncoder {
         .sortWithinPartitions("part_id", "chunk_id"),
       specs, stridePrune)
 
+  /** Column-subset decode — the point of a columnar layout: only the
+    * requested columns' streams are decompressed and value-decoded; the
+    * rest of each chunk group is filtered out before any blob is touched
+    * (the filter is an untyped metadata predicate, same trick as
+    * decodePruned). Output schema follows `columns` order. Note the
+    * chunk parquet itself still stores all columns in one file — at
+    * 100 TB a reader wanting scan-level IO savings too would partition
+    * the chunk table by `column`; this API removes the decode CPU and
+    * (on the shuffle path) the network bytes for unrequested columns.
+    */
+  def decodeColumns(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                    columns: Seq[String]): DataFrame = {
+    val subset = subsetSpecs(specs, columns)
+    import chunks.sparkSession.implicits._
+    val filtered = chunks.filter(col("column").isInCollection(columns)).as[EncodedChunk]
+    decode(filtered, subset)
+  }
+
+  def subsetSpecs(specs: Array[ColumnSpec], columns: Seq[String]): Array[ColumnSpec] =
+    columns.map(n => specs.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown column $n; have ${specs.map(_.name).mkString(",")}"))).toArray
+
   /** Zero-shuffle decode for chunks whose layout preserves the writer's
     * row order: the encode task emits all of a chunk's column rows
     * consecutively, so when each read partition covers whole files (see

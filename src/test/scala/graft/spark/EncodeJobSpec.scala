@@ -76,6 +76,24 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaColoc == viaShuffle)
   }
 
+  test("column-subset read-back decodes only the requested columns, zero-shuffle") {
+    val pages = WebGen.pages(spark, 3000, seed = 21, partitions = 4)
+    val out = s"$tmp/subset"
+    val result = EncodeJob.run(pages.toDF(), EncodeJob.Config(out, 4, Some("lang")))
+
+    val subset = EncodeJob.readBackColocated(spark, out, result.specs, Some(Seq("url", "lang")))
+    assert(subset.schema.fieldNames.toSeq == Seq("url", "lang"))
+    assert(!subset.queryExecution.executedPlan.toString.contains("Exchange"),
+      "subset colocated decode plan contains a shuffle")
+    val viaFull = EncodeJob.readBack(spark, out, result.specs)
+      .select("url", "lang").orderBy("url").collect().toSeq
+    assert(subset.orderBy("url").collect().toSeq == viaFull)
+
+    // shuffle path too
+    val viaShuffleSubset = EncodeJob.readBack(spark, out, result.specs, Some(Seq("url", "lang")))
+    assert(viaShuffleSubset.orderBy("url").collect().toSeq == viaFull)
+  }
+
   test("compression: encoded size beats raw and dictionary kicks in on lang") {
     val pages = WebGen.pages(spark, 4000, seed = 7, partitions = 2).toDF()
     val out = s"$tmp/compression"
