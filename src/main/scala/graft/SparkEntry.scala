@@ -213,7 +213,7 @@ object SparkEntry {
     // ---- training-data pipeline ops (rows-only: not SQL-expressible) ----
     "q_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents")
-        .select(col("doc_id"), TextOps.fingerprintUdf(col("text")).as("fingerprint"),
+        .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fingerprint"),
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
     "q_langid" -> ((s, dir) => {

@@ -50,15 +50,41 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("minhash"))
   }
 
+  /** Hot-bucket guard for LSH self-joins: a bucket with B members
+    * produces B² candidate pairs, and real web data HAS degenerate
+    * buckets (boilerplate-only pages, empty docs) — one of them turns
+    * the join quadratic. Buckets above the cap are dropped from
+    * candidate generation. Members of a dropped bucket can still pair
+    * via their other (cooler) bands; a cluster hot in EVERY band is an
+    * exact-duplicate family, which is `exact` dedup's job (run it
+    * first), not near-dup LSH's.
+    */
+  final val DefaultMaxBucketSize = 1000
+
+  private def dropHotBuckets(banded: DataFrame, bucketCols: Seq[String],
+                             maxBucketSize: Int): DataFrame = {
+    val sizes = banded.groupBy(bucketCols.map(col): _*).count()
+      .filter(col("count") <= maxBucketSize)
+      .select(bucketCols.map(col): _*)
+    banded.join(broadcast(sizes), bucketCols, "left_semi")
+  }
+
   /** LSH banding: candidate pairs from rows sharing any (band, bandHash)
     * bucket, then verified with exact shingle Jaccard ≥ threshold.
     * bands×rowsPerBand must equal the signature length.
+    *
+    * Scale shape: shingles are computed ONCE over the corpus (for the
+    * signatures); verification re-shingles only the candidate pairs —
+    * texts are joined to the (small) candidate set first, so the second
+    * shingle pass is O(candidates), not a second corpus pass. Hot
+    * buckets are capped before the self-join (see DefaultMaxBucketSize).
     *
     * Returns pairs (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-                            threshold: Double = 0.7): DataFrame = {
+                            threshold: Double = 0.7,
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleSize)
@@ -71,22 +97,22 @@ object Dedup {
             (0 until rowsPerBand).map(r =>
               element_at(col("minhash"), (b * rowsPerBand + r + 1).cast("int")).cast("string")): _*), b))
       ).as(Seq("band", "bucket")))
+    val cool = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
 
-    val candidates = banded.alias("a")
-      .join(banded.alias("b"),
+    val candidates = cool.alias("a")
+      .join(cool.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
 
-    // verify candidates with exact Jaccard over shingle sets
-    val withShingles = df.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+    // verify with exact Jaccard, shingling only candidate rows: join the
+    // raw text to the candidate ids FIRST, then shingle the joined pairs
+    val texts = df.select(col(idCol), col(textCol))
     val verified = candidates
-      .join(withShingles.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(withShingles.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("jaccard", ngramJaccard(col("__ta"), col("__tb"), shingleSize))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     verified
@@ -126,10 +152,12 @@ object Dedup {
     * See Similarity for the generic top-k path.
     */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                              planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+                              planes: Int = 12, threshold: Double = 0.95,
+                              maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bucketed = df.withColumn("__bucket", Similarity.hyperplaneBucket(col(vecCol), planes))
-    val pairs = bucketed.alias("a")
-      .join(bucketed.alias("b"),
+    val cool = dropHotBuckets(bucketed, Seq("__bucket"), maxBucketSize)
+    val pairs = cool.alias("a")
+      .join(cool.alias("b"),
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))

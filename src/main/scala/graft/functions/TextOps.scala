@@ -159,9 +159,18 @@ object TextOps {
     m.toMap
   }
 
-  /** 64-bit rolling-hash document fingerprint (content-defined, whitespace
-    * normalized): equal fingerprints ⇒ near-certain exact duplicates,
-    * cheap first-pass dedup key.
+  /** 64-bit whitespace-normalized document fingerprint as a pure
+    * built-in expression: stays inside WholeStageCodegen (no UDF
+    * boundary) and is reproducible by any engine with xxhash64 +
+    * regexp_replace — the right default for manifest-recorded
+    * fingerprints. Equal fingerprints ⇒ near-certain exact duplicates.
+    */
+  def fingerprintCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(regexp_replace(trim(text), "\\s+", " "))
+
+  /** FNV-64 variant of the fingerprint as a UDF — kept for callers that
+    * need the exact FNV contract (streaming dedup state hashes with the
+    * Scala [[fingerprint]]); prefer [[fingerprintCol]] in queries.
     */
   val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction = udf { (text: String) =>
     if (text == null) null else java.lang.Long.valueOf(fingerprint(text))

@@ -63,6 +63,22 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"planted-duplicate recall $recall, found ${found.size} pairs")
   }
 
+  test("minhash near-dup survives a degenerate corpus (hot buckets capped, no quadratic join)") {
+    // 10k identical docs: every band maps them to the same bucket —
+    // uncapped this is a 10^8-pair self-join. With the cap the job
+    // completes fast; the identical family is exact-dedup's job.
+    val spark0 = spark
+    import spark0.implicits._
+    val degenerate = (0L until 10000L).map(i => (i, "the same boilerplate page content here"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val n = Dedup.minhashNearDuplicates(degenerate, "doc_id", "text",
+      k = 32, bands = 8, threshold = 0.5, maxBucketSize = 100).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 60, s"degenerate corpus took $sec s — bucket cap not effective")
+    assert(n == 0, s"capped hot buckets must yield no candidate pairs, got $n")
+  }
+
   test("exact dedup keeps exactly one row per duplicated key") {
     val dup = docs.select("doc_id", "text")
       .union(docs.select((col("doc_id") + 5000).as("doc_id"), col("text")).limit(50))
