@@ -1,0 +1,328 @@
+package graft.core
+
+import graft.columns.{ColumnCodec, Codecs, ColumnStreams, Streams}
+import org.apache.orc.{OrcFile, OrcProto, TypeDescription}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.hive.ql.exec.vector._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-column / whole-file conformance oracle: graft's encoders don't
+  * just produce valid leaf streams (OrcCrossOracleSpec) — their full
+  * per-column stream ASSEMBLIES (PRESENT + DATA + LENGTH +
+  * DICTIONARY_DATA + SECONDARY), zlib-block framed and packaged into a
+  * real ORC container, are readable by Java ORC's production
+  * `RecordReader` (orc-core 2.2.2). This is the analogue of the
+  * reference's golden-file protocol tests
+  * (/root/reference/test/ApacheOrcDotNet.Test/Protocol/Footer_Test.cs,
+  * StripeFooter_Test.cs, IntData_Test.cs) with the STRONGER check that
+  * the independent Java implementation, not our own reader, consumes
+  * the output.
+  *
+  * The container (magic, stripe, StripeFooter/Footer/Metadata/PostScript
+  * protobufs) is assembled here in the TEST — the product's wire format
+  * is the chunk table (SURVEY §2.5); this spec exists to prove the
+  * encoders are ORC-conformant, not to add an ORC file sink.
+  */
+class OrcFileAssemblySpec extends AnyFunSuite {
+
+  private val BlockSize = ZlibBlock.DefaultBlockSize
+
+  /** One column going into the test file. */
+  private case class OrcCol(name: String, typeStr: String,
+                            cs: ColumnStreams,
+                            encoding: OrcProto.ColumnEncoding.Kind,
+                            dictionarySize: Int = 0)
+
+  private def streamOrder(k: String): Int = k match {
+    case Streams.Present        => 0
+    case Streams.Data           => 1
+    case Streams.Length         => 2
+    case Streams.DictionaryData => 3
+    case Streams.Secondary      => 4
+    case _                      => 9
+  }
+
+  private def protoKind(k: String): OrcProto.Stream.Kind = k match {
+    case Streams.Present        => OrcProto.Stream.Kind.PRESENT
+    case Streams.Data           => OrcProto.Stream.Kind.DATA
+    case Streams.Length         => OrcProto.Stream.Kind.LENGTH
+    case Streams.DictionaryData => OrcProto.Stream.Kind.DICTIONARY_DATA
+    case Streams.Secondary      => OrcProto.Stream.Kind.SECONDARY
+  }
+
+  private def typeKind(t: String): OrcProto.Type.Kind = t match {
+    case "bigint"    => OrcProto.Type.Kind.LONG
+    case "int"       => OrcProto.Type.Kind.INT
+    case "tinyint"   => OrcProto.Type.Kind.BYTE
+    case "boolean"   => OrcProto.Type.Kind.BOOLEAN
+    case "double"    => OrcProto.Type.Kind.DOUBLE
+    case "float"     => OrcProto.Type.Kind.FLOAT
+    case "string"    => OrcProto.Type.Kind.STRING
+    case "binary"    => OrcProto.Type.Kind.BINARY
+    case "timestamp" => OrcProto.Type.Kind.TIMESTAMP
+    case "date"      => OrcProto.Type.Kind.DATE
+    case s if s.startsWith("decimal") => OrcProto.Type.Kind.DECIMAL
+  }
+
+  /** Assemble a one-stripe ORC file from graft-encoded column streams. */
+  private def writeOrcFile(file: java.io.File, cols: Seq[OrcCol], rowCount: Long): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ORC".getBytes("ASCII")) // header, length 3
+
+    // ---- stripe data section: streams in (column, kind) order ----
+    val stripeStart = out.size().toLong
+    val streamList = new scala.collection.mutable.ArrayBuffer[OrcProto.Stream]()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val colId = i + 1 // 0 is the root struct
+      c.cs.streams.toSeq.sortBy(s => streamOrder(s._1)).foreach { case (kind, bytes) =>
+        val z = ZlibBlock.compress(bytes, BlockSize)
+        out.write(z)
+        streamList += OrcProto.Stream.newBuilder()
+          .setKind(protoKind(kind)).setColumn(colId).setLength(z.length.toLong).build()
+      }
+    }
+
+    // ---- stripe footer ----
+    val sfB = OrcProto.StripeFooter.newBuilder()
+    streamList.foreach(sfB.addStreams)
+    sfB.addColumns(OrcProto.ColumnEncoding.newBuilder()
+      .setKind(OrcProto.ColumnEncoding.Kind.DIRECT)) // root struct
+    cols.foreach { c =>
+      val eb = OrcProto.ColumnEncoding.newBuilder().setKind(c.encoding)
+      if (c.dictionarySize > 0) eb.setDictionarySize(c.dictionarySize)
+      sfB.addColumns(eb)
+    }
+    sfB.setWriterTimezone("UTC")
+    val stripeFooterBytes = ZlibBlock.compress(sfB.build().toByteArray, BlockSize)
+    val dataLength = out.size().toLong - stripeStart
+    out.write(stripeFooterBytes)
+    val contentEnd = out.size().toLong
+
+    // ---- metadata (no per-stripe stats) ----
+    val metadataBytes = ZlibBlock.compress(
+      OrcProto.Metadata.newBuilder().build().toByteArray, BlockSize)
+    out.write(metadataBytes)
+
+    // ---- footer ----
+    val fB = OrcProto.Footer.newBuilder()
+      .setHeaderLength(3L)
+      .setContentLength(contentEnd)
+      .setNumberOfRows(rowCount)
+      .setRowIndexStride(0) // no row index streams in this stripe
+    fB.addStripes(OrcProto.StripeInformation.newBuilder()
+      .setOffset(stripeStart).setIndexLength(0L).setDataLength(dataLength)
+      .setFooterLength(stripeFooterBytes.length.toLong).setNumberOfRows(rowCount))
+    val rootB = OrcProto.Type.newBuilder().setKind(OrcProto.Type.Kind.STRUCT)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      rootB.addSubtypes(i + 1); rootB.addFieldNames(c.name)
+    }
+    fB.addTypes(rootB)
+    cols.foreach { c =>
+      val tb = OrcProto.Type.newBuilder().setKind(typeKind(c.typeStr))
+      if (c.typeStr.startsWith("decimal")) {
+        val Array(p, s) = c.typeStr.stripPrefix("decimal(").stripSuffix(")").split(',').map(_.trim.toInt)
+        tb.setPrecision(p); tb.setScale(s)
+      }
+      fB.addTypes(tb)
+    }
+    val footerBytes = ZlibBlock.compress(fB.build().toByteArray, BlockSize)
+    out.write(footerBytes)
+
+    // ---- postscript (never compressed) + its 1-byte length ----
+    val ps = OrcProto.PostScript.newBuilder()
+      .setFooterLength(footerBytes.length.toLong)
+      .setCompression(OrcProto.CompressionKind.ZLIB)
+      .setCompressionBlockSize(BlockSize.toLong)
+      .addVersion(0).addVersion(12)
+      .setMetadataLength(metadataBytes.length.toLong)
+      .setWriterVersion(OrcFile.CURRENT_WRITER.getId)
+      .setMagic("ORC")
+      .build().toByteArray
+    out.write(ps)
+    out.write(ps.length)
+
+    val fos = new java.io.FileOutputStream(file)
+    try fos.write(out.toByteArray) finally fos.close()
+  }
+
+  private def present(n: Int)(nullAt: Int => Boolean): Array[Boolean] =
+    Array.tabulate(n)(i => !nullAt(i))
+
+  test("Java ORC RecordReader reads a file assembled from graft column streams (all codecs)") {
+    val n = 10000
+    val rng = new scala.util.Random(77)
+
+    // values per column; ids has nulls to exercise PRESENT merging
+    val idPresent = present(n)(_ % 97 == 0)
+    val idVals = (0 until n).filter(i => idPresent(i)).map(i => i.toLong * 31 - 5000).toArray
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val dictVals = Array.tabulate(n)(i => words(rng.nextInt(words.length)))
+    val dirVals = Array.tabulate(n)(i => s"url-$i-${rng.nextInt(1000)}")
+    val dblVals = Array.tabulate(n)(i => rng.nextDouble() * 1e6 - 5e5)
+    val fltVals = Array.tabulate(n)(i => rng.nextFloat() * 100f)
+    val boolVals = Array.tabulate(n)(i => i % 3 == 0)
+    val byteVals = Array.tabulate(n)(i => (i % 251 - 120).toByte)
+    val binVals = Array.tabulate(n)(i => s"blob${i % 500}".getBytes("UTF-8"))
+    // post-2015 instants only: the pre-epoch fraction-sign convention
+    // differs across ORC readers; graft's own handling is unit-tested
+    val tsBase = 1420070400L * 1000000L
+    val tsVals = Array.tabulate(n)(i => tsBase + i.toLong * 123456789L % (400L * 86400 * 1000000L) + i % 1000)
+    val dateVals = Array.tabulate(n)(i => (10000 + i % 5000).toLong)
+    val decVals = Array.tabulate(n)(i => rng.nextLong() % 1000000000000L)
+
+    val all = present(n)(_ => false)
+    val cols = Seq(
+      OrcCol("id", "bigint", ColumnCodec.encodeLong(idVals, idPresent),
+        OrcProto.ColumnEncoding.Kind.DIRECT_V2),
+      OrcCol("lang", "string", ColumnCodec.encodeStringDict(dictVals, all),
+        OrcProto.ColumnEncoding.Kind.DICTIONARY_V2, dictionarySize = words.distinct.length),
+      OrcCol("url", "string", ColumnCodec.encodeStringDirect(dirVals, all),
+        OrcProto.ColumnEncoding.Kind.DIRECT_V2),
+      OrcCol("price", "double", ColumnCodec.encodeDouble(dblVals, all),
+        OrcProto.ColumnEncoding.Kind.DIRECT),
+      OrcCol("score", "float", ColumnCodec.encodeFloat(fltVals, all),
+        OrcProto.ColumnEncoding.Kind.DIRECT),
+      OrcCol("flag", "boolean", ColumnCodec.encodeBool(boolVals, all),
+        OrcProto.ColumnEncoding.Kind.DIRECT),
+      OrcCol("tiny", "tinyint", ColumnCodec.encodeByte(byteVals, all),
+        OrcProto.ColumnEncoding.Kind.DIRECT),
+      OrcCol("payload", "binary", ColumnCodec.encodeBinary(binVals, all),
+        OrcProto.ColumnEncoding.Kind.DIRECT_V2),
+      OrcCol("ts", "timestamp", ColumnCodec.encodeTimestamp(tsVals, all),
+        OrcProto.ColumnEncoding.Kind.DIRECT_V2),
+      OrcCol("day", "date", ColumnCodec.encodeDate(dateVals, all),
+        OrcProto.ColumnEncoding.Kind.DIRECT_V2),
+      OrcCol("amount", "decimal(18,6)",
+        ColumnCodec.encodeDecimal18(decVals, Array.fill(n)(6L), all),
+        OrcProto.ColumnEncoding.Kind.DIRECT_V2))
+
+    val file = java.io.File.createTempFile("graft-assembly", ".orc")
+    file.deleteOnExit()
+    writeOrcFile(file, cols, n)
+
+    val reader = OrcFile.createReader(new Path(file.getAbsolutePath),
+      OrcFile.readerOptions(new Configuration()).useUTCTimestamp(true))
+    assert(reader.getNumberOfRows == n)
+    val rows = reader.rows()
+    val batch = reader.getSchema.createRowBatch(1024)
+
+    var r = 0
+    var idCursor = 0
+    while (rows.nextBatch(batch)) {
+      val id = batch.cols(0).asInstanceOf[LongColumnVector]
+      val lang = batch.cols(1).asInstanceOf[BytesColumnVector]
+      val url = batch.cols(2).asInstanceOf[BytesColumnVector]
+      val price = batch.cols(3).asInstanceOf[DoubleColumnVector]
+      val score = batch.cols(4).asInstanceOf[DoubleColumnVector]
+      val flag = batch.cols(5).asInstanceOf[LongColumnVector]
+      val tiny = batch.cols(6).asInstanceOf[LongColumnVector]
+      val payload = batch.cols(7).asInstanceOf[BytesColumnVector]
+      val ts = batch.cols(8).asInstanceOf[TimestampColumnVector]
+      val day = batch.cols(9).asInstanceOf[LongColumnVector]
+      val amount = batch.cols(10).asInstanceOf[DecimalColumnVector]
+      var i = 0
+      while (i < batch.size) {
+        if (idPresent(r)) {
+          assert(id.noNulls || !id.isNull(i), s"row $r: id unexpectedly null")
+          assert(id.vector(i) == idVals(idCursor), s"row $r id")
+          idCursor += 1
+        } else assert(!id.noNulls && id.isNull(i), s"row $r: id must be null")
+        assert(lang.toString(i) == dictVals(r), s"row $r lang")
+        assert(url.toString(i) == dirVals(r), s"row $r url")
+        assert(price.vector(i) == dblVals(r), s"row $r price")
+        assert(score.vector(i) == fltVals(r).toDouble, s"row $r score")
+        assert((flag.vector(i) == 1) == boolVals(r), s"row $r flag")
+        assert(tiny.vector(i).toByte == byteVals(r), s"row $r tiny")
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(payload.vector(i), payload.start(i),
+            payload.start(i) + payload.length(i)), binVals(r)), s"row $r payload")
+        val t = ts.asScratchTimestamp(i)
+        val micros = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        assert(micros == tsVals(r), s"row $r ts: $micros != ${tsVals(r)}")
+        assert(day.vector(i) == dateVals(r), s"row $r day")
+        // HiveDecimal strips trailing zeros; compare at pinned scale 6
+        val dec = amount.vector(i).getHiveDecimal.bigDecimalValue().setScale(6)
+        assert(dec.unscaledValue().longValueExact() == decVals(r), s"row $r amount")
+        i += 1
+        r += 1
+      }
+    }
+    rows.close()
+    assert(r == n, s"row count read back: $r")
+  }
+
+  test("graft readers decode a file written by Java ORC's production writer (tail parse + streams)") {
+    // reverse direction at assembly level: Java orc-core writes a real
+    // file (zlib); we parse the tail with OrcProto, un-frame every
+    // section and stream with graft's ZlibBlock, and decode the column
+    // assemblies with graft's ColumnCodec readers.
+    val n = 5000
+    val conf = new Configuration()
+    val file = java.io.File.createTempFile("java-orc", ".orc")
+    file.delete(); file.deleteOnExit()
+    val schema = TypeDescription.fromString("struct<id:bigint,lang:string>")
+    val writer = OrcFile.createWriter(new Path(file.getAbsolutePath),
+      OrcFile.writerOptions(conf).setSchema(schema)
+        .compress(org.apache.orc.CompressionKind.ZLIB)
+        .stripeSize(64L * 1024 * 1024).rowIndexStride(0))
+    val batch = schema.createRowBatch(1024)
+    val langs = Array("en", "de", "fr", "es")
+    var written = 0
+    while (written < n) {
+      batch.reset()
+      var i = 0
+      while (i < 1024 && written < n) {
+        batch.cols(0).asInstanceOf[LongColumnVector].vector(i) = written.toLong * 7 - 100
+        val b = langs(written % langs.length).getBytes("UTF-8")
+        batch.cols(1).asInstanceOf[BytesColumnVector].setVal(i, b)
+        i += 1; written += 1
+      }
+      batch.size = i
+      writer.addRowBatch(batch)
+    }
+    writer.close()
+
+    // ---- parse the tail with OrcProto + graft ZlibBlock ----
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val psLen = bytes(bytes.length - 1) & 0xff
+    val ps = OrcProto.PostScript.parseFrom(
+      java.util.Arrays.copyOfRange(bytes, bytes.length - 1 - psLen, bytes.length - 1))
+    assert(ps.getCompression == OrcProto.CompressionKind.ZLIB)
+    val footerEnd = bytes.length - 1 - psLen
+    val footer = OrcProto.Footer.parseFrom(ZlibBlock.decompress(
+      java.util.Arrays.copyOfRange(bytes, footerEnd - ps.getFooterLength.toInt, footerEnd)))
+    assert(footer.getStripesCount == 1)
+    val stripe = footer.getStripes(0)
+    val sfStart = (stripe.getOffset + stripe.getIndexLength + stripe.getDataLength).toInt
+    val sf = OrcProto.StripeFooter.parseFrom(ZlibBlock.decompress(
+      java.util.Arrays.copyOfRange(bytes, sfStart, sfStart + stripe.getFooterLength.toInt)))
+
+    // walk the stream directory to per-(column, kind) byte ranges
+    var off = stripe.getOffset
+    val streams = scala.collection.mutable.Map[(Int, OrcProto.Stream.Kind), Array[Byte]]()
+    sf.getStreamsList.forEach { s =>
+      val raw = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + s.getLength).toInt)
+      if (s.getKind != OrcProto.Stream.Kind.ROW_INDEX &&
+          s.getKind != OrcProto.Stream.Kind.BLOOM_FILTER_UTF8)
+        streams((s.getColumn, s.getKind)) = ZlibBlock.decompress(raw)
+      off += s.getLength
+    }
+
+    // column 1: bigint DIRECT_V2 → graft decodeLong
+    val idCs = ColumnStreams(Codecs.LongRleV2, n, 0,
+      Map(Streams.Data -> streams((1, OrcProto.Stream.Kind.DATA))))
+    val (idVals, _) = ColumnCodec.decodeLong(idCs)
+    assert(idVals.length == n)
+    (0 until n).foreach(i => assert(idVals(i) == i.toLong * 7 - 100, s"id at $i"))
+
+    // column 2: string dictionary → graft decodeString
+    assert(sf.getColumns(2).getKind == OrcProto.ColumnEncoding.Kind.DICTIONARY_V2)
+    val langCs = ColumnStreams(Codecs.StringDictV2, n, 0, Map(
+      Streams.Data -> streams((2, OrcProto.Stream.Kind.DATA)),
+      Streams.Length -> streams((2, OrcProto.Stream.Kind.LENGTH)),
+      Streams.DictionaryData -> streams((2, OrcProto.Stream.Kind.DICTIONARY_DATA))))
+    val (langVals, _) = ColumnCodec.decodeString(langCs)
+    (0 until n).foreach(i => assert(langVals(i) == langs(i % langs.length), s"lang at $i"))
+  }
+}
