@@ -36,16 +36,63 @@ object Multimodal {
       else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') "mp4"
       else "unknown"
 
+    /** PNG IHDR: 8-byte signature, 4-byte chunk length, "IHDR", then
+      * width and height as big-endian u32 — a plain header read, no
+      * codec needed.
+      */
+    def pngDims(bytes: Array[Byte]): Option[(Int, Int)] =
+      if (bytes.length < 24) None
+      else {
+        def be32(o: Int) = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+          ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+        if (bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+          Some((be32(16), be32(20)))
+        else None
+      }
+
+    /** JPEG SOFn: walk the marker chain to the first start-of-frame
+      * (0xFFC0..0xFFCF minus the non-frame C4/C8/CC); height then width
+      * as big-endian u16 at offset +5/+7 into the segment.
+      */
+    def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 9 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff) return None // lost marker sync
+        val marker = bytes(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          val h = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
+          val w = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone marker
+        else i += 2 + (((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff))
+      }
+      None
+    }
+
     def meta(bytes: Array[Byte]): MediaMeta = {
-      var h = 1469598103934665603L
-      var i = 0
-      val n = math.min(bytes.length, 256)
-      while (i < n) { h ^= bytes(i); h *= 1099511628211L; i += 1 }
-      MediaMeta(sniffFormat(bytes),
-        width = 64 + (math.abs(h) % 1024).toInt,
-        height = 64 + (math.abs(h >> 10) % 1024).toInt,
-        frames = 1 + (math.abs(h >> 20) % 64).toInt,
-        bytes = bytes.length.toLong)
+      val format = sniffFormat(bytes)
+      // real header parse where the format allows it without a codec
+      val dims = format match {
+        case "png"  => pngDims(bytes)
+        case "jpeg" => jpegDims(bytes)
+        case _      => None
+      }
+      dims match {
+        case Some((w, h)) => MediaMeta(format, w, h, frames = 1, bytes = bytes.length.toLong)
+        case None =>
+          // STUB path (wav/mp4/unknown, or corrupt headers): deterministic
+          // fake so downstream stays testable without media libraries
+          var hash = 1469598103934665603L
+          var i = 0
+          val n = math.min(bytes.length, 256)
+          while (i < n) { hash ^= bytes(i); hash *= 1099511628211L; i += 1 }
+          MediaMeta(format,
+            width = 64 + (math.abs(hash) % 1024).toInt,
+            height = 64 + (math.abs(hash >> 10) % 1024).toInt,
+            frames = 1 + (math.abs(hash >> 20) % 64).toInt,
+            bytes = bytes.length.toLong)
+      }
     }
 
     def feature(bytes: Array[Byte], dim: Int): Array[Float] = {

@@ -145,4 +145,38 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f2 = Multimodal.extractFeatures(blobs, "doc_id", "blob", dim = 32, batchSize = 7).collect()
     assert(feats.sortBy(_.id).zip(f2.sortBy(_.id)).forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
+
+  test("multimodal meta parses real PNG and JPEG headers (true dimensions, not fakes)") {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def png(w: Int, h: Int): Array[Byte] =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be32(13) ++ "IHDR".getBytes("ASCII") ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    def jpeg(w: Int, h: Int): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ // SOI
+        Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++ new Array[Byte](14) ++ // APP0
+        Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++ // SOF0, precision
+        be16(h) ++ be16(w) ++ new Array[Byte](10)
+
+    val mPng = Multimodal.FakeDecoder.meta(png(640, 480))
+    assert(mPng.format == "png" && mPng.width == 640 && mPng.height == 480 && mPng.frames == 1, s"$mPng")
+    val mJpeg = Multimodal.FakeDecoder.meta(jpeg(1920, 1080))
+    assert(mJpeg.format == "jpeg" && mJpeg.width == 1920 && mJpeg.height == 1080, s"$mJpeg")
+    // large dims exercise the u16/u32 big-endian paths
+    val mBig = Multimodal.FakeDecoder.meta(png(100000, 70000))
+    assert(mBig.width == 100000 && mBig.height == 70000)
+    // non-media bytes still take the deterministic stub path
+    val mTxt = Multimodal.FakeDecoder.meta("just some text".getBytes("UTF-8"))
+    assert(mTxt.format == "unknown" && mTxt.width >= 64)
+    // and through the Spark column surface
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, png(320, 200)), (2L, jpeg(64, 32))).toDF("id", "blob")
+    val out = df.select(col("id"), Multimodal.extractMetaUdf(col("blob")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "png" && out(0).getInt(2) == 320 && out(0).getInt(3) == 200)
+    assert(out(1).getString(1) == "jpeg" && out(1).getInt(2) == 64 && out(1).getInt(3) == 32)
+  }
 }
