@@ -38,6 +38,24 @@ object Similarity {
     when(nn === 0, lit(0.0)).otherwise(d / nn)
   }
 
+  /** Bounded top-k per group via the custom Catalyst aggregate
+    * (graft.plans.TopKAggregate): map-side partial heaps cut each
+    * partition to ≤k rows per group before the exchange. The window
+    * row_number() this replaced shuffled and sorted EVERY scored row —
+    * |corpus|×|queries| rows through one sort, the round-1 scale-killer.
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.TopKAggregate(
+        org.apache.spark.sql.graftbridge.Bridge.expression(score),
+        org.apache.spark.sql.graftbridge.Bridge.expression(id),
+        k).toAggregateExpression())
+
+  private def explodeTopK(grouped: DataFrame, idCol: String): DataFrame =
+    grouped.select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as(idCol),
+        round(col("col.score"), 6).as("cosine"), (col("pos") + 1).as("rank"))
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows. Queries are broadcast (must be small); the corpus is scanned
     * once — at 100 TB this is the exact-answer baseline you run on a
@@ -50,11 +68,9 @@ object Similarity {
     val scored = corpus.select(col(idCol), col(vecCol))
       .join(broadcast(q), col(idCol) =!= col("query_id")) // all pairs vs broadcast queries
       .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(desc("cosine"), col(idCol))
-    scored.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col(idCol), round(col("cosine"), 6).as("cosine"), col("__rank").as("rank"))
+    val grouped = scored.groupBy(col("query_id"))
+      .agg(topKByScore(col("cosine"), col(idCol).cast("long"), k).as("__top"))
+    explodeTopK(grouped, idCol)
   }
 
   /** Random-hyperplane LSH bucket id: sign bit per pseudo-random plane.
@@ -88,10 +104,8 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(desc("cosine"), col(idCol))
-    scored.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col(idCol), round(col("cosine"), 6).as("cosine"), col("__rank").as("rank"))
+    val grouped = scored.groupBy(col("query_id"))
+      .agg(topKByScore(col("cosine"), col(idCol).cast("long"), k).as("__top"))
+    explodeTopK(grouped, idCol)
   }
 }
