@@ -86,21 +86,23 @@ object CodecSelector {
     * (lang-clustered, post-salting) data.
     */
   def encodeString(codec: String, values: Array[String], present: Array[Boolean],
-                   fsstTable: graft.core.Fsst.SymbolTable = null): ColumnStreams =
+                   fsstTable: graft.core.Fsst.SymbolTable = null,
+                   aligned: Boolean = false): ColumnStreams =
     codec match {
-      case Codecs.StringDictV2 => ColumnCodec.encodeStringDict(values, present)
+      case Codecs.StringDictV2 => ColumnCodec.encodeStringDict(values, present, aligned)
       case Codecs.StringFsst   => ColumnCodec.encodeStringFsst(values, present, fsstTable)
-      case Codecs.StringDirect => ColumnCodec.encodeStringDirect(values, present)
+      case Codecs.StringDirect => ColumnCodec.encodeStringDirect(values, present, aligned)
       case other               => throw new IllegalArgumentException(s"not a string codec: $other")
     }
 
   /** Byte-oriented variant for the encode hot path (values are UTF-8). */
   def encodeStrBytes(codec: String, values: Array[Array[Byte]], present: Array[Boolean],
-                     fsstTable: graft.core.Fsst.SymbolTable = null): ColumnStreams =
+                     fsstTable: graft.core.Fsst.SymbolTable = null,
+                     aligned: Boolean = false): ColumnStreams =
     codec match {
-      case Codecs.StringDictV2 => ColumnCodec.encodeStrBytesDict(values, present)
-      case Codecs.StringFsst   => ColumnCodec.encodeStrBytesFsst(values, present, fsstTable)
-      case Codecs.StringDirect => ColumnCodec.encodeStrBytesDirect(values, present)
+      case Codecs.StringDictV2 => ColumnCodec.encodeStrBytesDict(values, present, aligned)
+      case Codecs.StringFsst   => ColumnCodec.encodeStrBytesFsst(values, present, fsstTable, aligned)
+      case Codecs.StringDirect => ColumnCodec.encodeStrBytesDirect(values, present, aligned)
       case other               => throw new IllegalArgumentException(s"not a string codec: $other")
     }
 }

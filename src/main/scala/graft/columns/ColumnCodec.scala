@@ -163,7 +163,8 @@ object ColumnCodec {
 
   // ---------- BINARY ----------
 
-  def encodeBinary(values: Array[Array[Byte]], present: Array[Boolean]): ColumnStreams = {
+  def encodeBinary(values: Array[Array[Byte]], present: Array[Boolean],
+                   aligned: Boolean = false): ColumnStreams = {
     val nullCount = countNulls(present)
     val data = new ByteBuf(1024)
     val lengths = new Array[Long](values.length)
@@ -174,7 +175,7 @@ object ColumnCodec {
       i += 1
     }
     val lengthBuf = new ByteBuf(values.length)
-    RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = false)
+    RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = aligned)
     ColumnStreams(Codecs.Binary, present.length, nullCount,
       withPresent(Map(Streams.Data -> data.toArray, Streams.Length -> lengthBuf.toArray), present, nullCount))
   }
@@ -203,7 +204,8 @@ object ColumnCodec {
   // value. The Array[String] overloads are thin converters kept for the
   // column-level test surface.
 
-  def encodeStrBytesDirect(values: Array[Array[Byte]], present: Array[Boolean]): ColumnStreams = {
+  def encodeStrBytesDirect(values: Array[Array[Byte]], present: Array[Boolean],
+                           aligned: Boolean = false): ColumnStreams = {
     val nullCount = countNulls(present)
     var total = 0L
     var i = 0
@@ -217,13 +219,14 @@ object ColumnCodec {
       i += 1
     }
     val lengthBuf = new ByteBuf(values.length)
-    RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = false)
+    RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = aligned)
     ColumnStreams(Codecs.StringDirect, present.length, nullCount,
       withPresent(Map(Streams.Data -> data.toArray, Streams.Length -> lengthBuf.toArray), present, nullCount))
   }
 
-  def encodeStringDirect(values: Array[String], present: Array[Boolean]): ColumnStreams =
-    encodeStrBytesDirect(values.map(_.getBytes(StandardCharsets.UTF_8)), present)
+  def encodeStringDirect(values: Array[String], present: Array[Boolean],
+                         aligned: Boolean = false): ColumnStreams =
+    encodeStrBytesDirect(values.map(_.getBytes(StandardCharsets.UTF_8)), present, aligned)
 
   // ---------- STRING: sorted dictionary ----------
 
@@ -231,10 +234,12 @@ object ColumnCodec {
     * conversion here is per-VALUE cheap and keeps the reference's
     * UTF-16-ordinal dictionary sort exactly (StringWriter.cs:187).
     */
-  def encodeStrBytesDict(values: Array[Array[Byte]], present: Array[Boolean]): ColumnStreams =
-    encodeStringDict(values.map(new String(_, StandardCharsets.UTF_8)), present)
+  def encodeStrBytesDict(values: Array[Array[Byte]], present: Array[Boolean],
+                         aligned: Boolean = false): ColumnStreams =
+    encodeStringDict(values.map(new String(_, StandardCharsets.UTF_8)), present, aligned)
 
-  def encodeStringDict(values: Array[String], present: Array[Boolean]): ColumnStreams = {
+  def encodeStringDict(values: Array[String], present: Array[Boolean],
+                       aligned: Boolean = false): ColumnStreams = {
     val nullCount = countNulls(present)
     val dict = new StringDict
     val provisionalIds = new Array[Int](values.length)
@@ -248,9 +253,9 @@ object ColumnCodec {
     while (i < values.length) { lookup(i) = remap(provisionalIds(i)).toLong; i += 1 }
 
     val dataBuf = new ByteBuf(values.length)
-    RleV2Writer.write(dataBuf, lookup, signed = false, aligned = false)
+    RleV2Writer.write(dataBuf, lookup, signed = false, aligned = aligned)
     val lengthBuf = new ByteBuf(sortedValues.length + 8)
-    RleV2Writer.write(lengthBuf, dictLengths, signed = false, aligned = false)
+    RleV2Writer.write(lengthBuf, dictLengths, signed = false, aligned = aligned)
 
     ColumnStreams(Codecs.StringDictV2, present.length, nullCount,
       withPresent(Map(
@@ -262,7 +267,8 @@ object ColumnCodec {
   // ---------- STRING: FSST ----------
 
   def encodeStrBytesFsst(rawBytes: Array[Array[Byte]], present: Array[Boolean],
-                         pretrained: Fsst.SymbolTable = null): ColumnStreams = {
+                         pretrained: Fsst.SymbolTable = null,
+                         aligned: Boolean = false): ColumnStreams = {
     val nullCount = countNulls(present)
     val table =
       if (pretrained != null) pretrained
@@ -284,7 +290,7 @@ object ColumnCodec {
       i += 1
     }
     val lengthBuf = new ByteBuf(rawBytes.length)
-    RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = false)
+    RleV2Writer.write(lengthBuf, lengths, signed = false, aligned = aligned)
     val tableBuf = new ByteBuf(1024)
     table.serialize(tableBuf)
     ColumnStreams(Codecs.StringFsst, present.length, nullCount,
@@ -474,10 +480,11 @@ object ColumnCodec {
 
   // ---------- DATE (epoch days, signed RLEv2) ----------
 
-  def encodeDate(epochDays: Array[Long], present: Array[Boolean]): ColumnStreams = {
+  def encodeDate(epochDays: Array[Long], present: Array[Boolean],
+                 aligned: Boolean = false): ColumnStreams = {
     val nullCount = countNulls(present)
     val dataBuf = new ByteBuf(epochDays.length)
-    RleV2Writer.write(dataBuf, epochDays, signed = true, aligned = false)
+    RleV2Writer.write(dataBuf, epochDays, signed = true, aligned = aligned)
     ColumnStreams(Codecs.Date, present.length, nullCount,
       withPresent(Map(Streams.Data -> dataBuf.toArray), present, nullCount))
   }
@@ -491,13 +498,14 @@ object ColumnCodec {
 
   // ---------- DECIMAL(≤18, s): mantissa varint DATA + scale RLEv2 SECONDARY ----------
 
-  def encodeDecimal18(mantissas: Array[Long], scales: Array[Long], present: Array[Boolean]): ColumnStreams = {
+  def encodeDecimal18(mantissas: Array[Long], scales: Array[Long], present: Array[Boolean],
+                      aligned: Boolean = false): ColumnStreams = {
     val nullCount = countNulls(present)
     val dataBuf = new ByteBuf(mantissas.length * 2)
     var i = 0
     while (i < mantissas.length) { BitOps.writeVarIntSigned(dataBuf, mantissas(i)); i += 1 }
     val secondaryBuf = new ByteBuf(scales.length)
-    RleV2Writer.write(secondaryBuf, scales, signed = true, aligned = false)
+    RleV2Writer.write(secondaryBuf, scales, signed = true, aligned = aligned)
     ColumnStreams(Codecs.Decimal18, present.length, nullCount,
       withPresent(Map(Streams.Data -> dataBuf.toArray, Streams.Secondary -> secondaryBuf.toArray),
         present, nullCount))

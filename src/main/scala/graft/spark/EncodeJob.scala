@@ -51,7 +51,11 @@ object EncodeJob {
       // relative frequencies are all that matter, so 0.1% is plenty at
       // web scale. Tiny inputs (sampled rows < SaltSampleFloor) fall
       // back to an exact narrow scan.
-      saltSampleFraction: Double = 0.001)
+      saltSampleFraction: Double = 0.001,
+      // the reference's EncodingStrategy knob (WriterConfiguration.cs:49):
+      // aligned=true restricts RLEv2 DIRECT/PATCHED widths to the
+      // CPU-friendly table (Speed), trading a little size for decode speed
+      alignedEncoding: Boolean = false)
 
   /** Below this many sampled rows the frequency estimate is noise —
     * rescan the (narrow) key column exactly instead.
@@ -167,7 +171,7 @@ object EncodeJob {
     val offset = batchId * cfg.numPartitions
     val t0 = System.nanoTime()
     val chunks = TableEncoder.encode(shredded, specs, cfg.strideRows,
-      cfg.chunkTargetBytes, partIdOffset = offset)
+      cfg.chunkTargetBytes, partIdOffset = offset, aligned = cfg.alignedEncoding)
     // Overwrite into the batch-scoped dir: a replay of a half-written
     // batch replaces the orphan files instead of appending duplicates
     chunks.write.mode(SaveMode.Overwrite).parquet(chunkBatchDir(cfg.outDir, batchId))
@@ -231,7 +235,8 @@ object EncodeJob {
         val batchDf =
           if (cfg.commitBatches == 1) shredded
           else shredded.filter(pmod(spark_partition_id(), lit(cfg.commitBatches)) === b)
-        val chunks = TableEncoder.encode(batchDf, specs, cfg.strideRows, cfg.chunkTargetBytes)
+        val chunks = TableEncoder.encode(batchDf, specs, cfg.strideRows, cfg.chunkTargetBytes,
+          aligned = cfg.alignedEncoding)
         // Overwrite into the batch dir — replays of an uncommitted batch
         // replace its orphan files; the manifest append below is the
         // commit point
@@ -338,8 +343,10 @@ object EncodeJob {
       // grouper handles projections without any layout change
       val (effChunks, effSpecs) = columns match {
         case None       => (chunks, specs)
-        case Some(cols) => (chunks.filter(col("column").isInCollection(cols)).as[EncodedChunk],
-          TableEncoder.subsetSpecs(specs, cols))
+        case Some(cols) =>
+          val subset = TableEncoder.subsetSpecs(specs, cols) // case-insensitive rebind
+          (chunks.filter(col("column").isInCollection(subset.map(_.name).toSeq)).as[EncodedChunk],
+            subset)
       }
       // decodeSequential plans the scan eagerly (it materializes the RDD
       // lineage under the hood), so the file-split decision is pinned

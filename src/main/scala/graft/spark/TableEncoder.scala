@@ -122,7 +122,7 @@ object TableEncoder {
     var rawBytes = 0L
     val present = new graft.core.BoolBuf(1024) // primitive: no boxing in the hot path
     def add(row: Row, i: Int): Unit
-    def encode(): ColumnStreams
+    def encode(aligned: Boolean): ColumnStreams
     def minMax: (Option[String], Option[String])
     def sumVal: Option[Long] = None
     /** Per-stride (min, max) arrays — long-family columns only. */
@@ -178,9 +178,9 @@ object TableEncoder {
         Vector(if (strideMx == Long.MinValue) Long.MaxValue else strideMx) else Vector.empty)
       (Some(mins), Some(maxs))
     }
-    def encode(): ColumnStreams = codecTag match {
-      case "timestamp" => ColumnCodec.encodeTimestamp(values.toArray, present.toArray)
-      case "date"      => ColumnCodec.encodeDate(values.toArray, present.toArray)
+    def encode(aligned: Boolean): ColumnStreams = codecTag match {
+      case "timestamp" => ColumnCodec.encodeTimestamp(values.toArray, present.toArray, aligned)
+      case "date"      => ColumnCodec.encodeDate(values.toArray, present.toArray, aligned)
       case "byte"      =>
         // reference routes byte columns to ByteRLE (ByteWriter.cs:87-88)
         val longs = values.toArray
@@ -190,8 +190,8 @@ object TableEncoder {
         ColumnCodec.encodeByte(bytes, present.toArray)
       case t if t.startsWith("decimal:") =>
         val sc = t.substring(8).toLong
-        ColumnCodec.encodeDecimal18(values.toArray, Array.fill(values.length)(sc), present.toArray)
-      case _           => ColumnCodec.encodeLong(values.toArray, present.toArray)
+        ColumnCodec.encodeDecimal18(values.toArray, Array.fill(values.length)(sc), present.toArray, aligned)
+      case _           => ColumnCodec.encodeLong(values.toArray, present.toArray, aligned)
     }
     def minMax: (Option[String], Option[String]) =
       if (values.length == 0) (None, None) else (Some(mn.toString), Some(mx.toString))
@@ -223,7 +223,7 @@ object TableEncoder {
         rawBytes += 1
       }
     }
-    def encode(): ColumnStreams = ColumnCodec.encodeBool(values.toArray, present.toArray)
+    def encode(aligned: Boolean): ColumnStreams = ColumnCodec.encodeBool(values.toArray, present.toArray)
     def minMax: (Option[String], Option[String]) =
       if (values.length == 0) (None, None)
       else (Some(if (trues < values.length) "0" else "1"), Some(if (trues > 0) "1" else "0"))
@@ -254,7 +254,7 @@ object TableEncoder {
         rawBytes += 8
       }
     }
-    def encode(): ColumnStreams = ColumnCodec.encodeDouble(values.toArray, present.toArray)
+    def encode(aligned: Boolean): ColumnStreams = ColumnCodec.encodeDouble(values.toArray, present.toArray)
     def minMax: (Option[String], Option[String]) =
       if (!sawFinite) (None, None) else (Some(mn.toString), Some(mx.toString))
     override def clear(): Unit = {
@@ -283,7 +283,7 @@ object TableEncoder {
         rawBytes += 4
       }
     }
-    def encode(): ColumnStreams = ColumnCodec.encodeFloat(values.toArray, present.toArray)
+    def encode(aligned: Boolean): ColumnStreams = ColumnCodec.encodeFloat(values.toArray, present.toArray)
     def minMax: (Option[String], Option[String]) =
       if (!sawFinite) (None, None) else (Some(mn.toString), Some(mx.toString))
     override def clear(): Unit = {
@@ -307,7 +307,7 @@ object TableEncoder {
         rawBytes += v.length
       }
     }
-    def encode(): ColumnStreams = ColumnCodec.encodeBinary(values.toArray, present.toArray)
+    def encode(aligned: Boolean): ColumnStreams = ColumnCodec.encodeBinary(values.toArray, present.toArray, aligned)
     def minMax: (Option[String], Option[String]) = (None, None)
     override def sumVal: Option[Long] = if (values.isEmpty) None else Some(rawBytes)
     override def clear(): Unit = { super.clear(); values.clear() }
@@ -335,7 +335,7 @@ object TableEncoder {
         rawBytes += v.length
       }
     }
-    def encode(): ColumnStreams = {
+    def encode(aligned: Boolean): ColumnStreams = {
       if (codec == Codecs.StringFsst && fsstTable == null) {
         val corpus = new graft.core.ByteBuf(1 << 14)
         var i = 0
@@ -345,7 +345,7 @@ object TableEncoder {
         }
         fsstTable = graft.core.Fsst.train(corpus.toArray)
       }
-      CodecSelector.encodeStrBytes(codec, values.toArray, present.toArray, fsstTable)
+      CodecSelector.encodeStrBytes(codec, values.toArray, present.toArray, fsstTable, aligned)
     }
     def minMax: (Option[String], Option[String]) =
       (Option(mn).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)),
@@ -394,7 +394,8 @@ object TableEncoder {
              strideRows: Int = DefaultStrideRows,
              chunkTargetBytes: Long = DefaultChunkTargetBytes,
              partIdOffset: Int = 0,
-             indexStrideRows: Int = DefaultIndexStrideRows): Dataset[EncodedChunk] = {
+             indexStrideRows: Int = DefaultIndexStrideRows,
+             aligned: Boolean = false): Dataset[EncodedChunk] = {
     val spark = shredded.sparkSession
     import spark.implicits._
     val specsB = spark.sparkContext.broadcast(specs)
@@ -414,7 +415,7 @@ object TableEncoder {
         if (rowsInChunk == 0) Iterator.empty
         else {
           val out = sp.indices.iterator.map { i =>
-            val cs = bufs(i).encode()
+            val cs = bufs(i).encode(aligned)
             val zstreams = cs.streams.map { case (k, v) => k -> ZlibBlock.compress(v) }
             val (mn, mx) = bufs(i).minMax
             val (sMins, sMaxs) = bufs(i).strideStats
@@ -487,12 +488,17 @@ object TableEncoder {
                     columns: Seq[String]): DataFrame = {
     val subset = subsetSpecs(specs, columns)
     import chunks.sparkSession.implicits._
-    val filtered = chunks.filter(col("column").isInCollection(columns)).as[EncodedChunk]
+    // filter by the RESOLVED names (subsetSpecs rebinds case-insensitively)
+    val filtered = chunks.filter(col("column").isInCollection(subset.map(_.name))).as[EncodedChunk]
     decode(filtered, subset)
   }
 
+  /** Case-insensitive name rebinding, like the reference reader's
+    * property match (OrcReader.cs:49-64); the spec's canonical name wins
+    * in the output schema.
+    */
   def subsetSpecs(specs: Array[ColumnSpec], columns: Seq[String]): Array[ColumnSpec] =
-    columns.map(n => specs.find(_.name == n).getOrElse(
+    columns.map(n => specs.find(_.name.equalsIgnoreCase(n)).getOrElse(
       throw new IllegalArgumentException(
         s"unknown column $n; have ${specs.map(_.name).mkString(",")}"))).toArray
 

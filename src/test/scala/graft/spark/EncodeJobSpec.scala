@@ -195,6 +195,32 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docs.exceptAll(decoded).count() == 0)
   }
 
+  test("aligned encoding strategy: round trip identical, sizes within a few % of unaligned") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val outA = s"$tmp/aligned"
+    val rA = EncodeJob.run(li, EncodeJob.Config(outA, 4, None, alignedEncoding = true))
+    val decoded = EncodeJob.readBack(spark, outA, rA.specs)
+    assert(decoded.exceptAll(li).count() == 0)
+    assert(li.exceptAll(decoded).count() == 0)
+    // aligned restricts RLEv2 bit-widths to the CPU-friendly table — it may
+    // pad, never corrupt; size must stay within 10% of the default strategy
+    val bytesA = spark.read.parquet(rA.chunkDir).agg(sum("encoded_bytes")).first().getLong(0)
+    val outU = s"$tmp/unaligned"
+    val rU = EncodeJob.run(li, EncodeJob.Config(outU, 4, None))
+    val bytesU = spark.read.parquet(rU.chunkDir).agg(sum("encoded_bytes")).first().getLong(0)
+    assert(bytesA <= bytesU * 1.10, s"aligned $bytesA vs unaligned $bytesU")
+  }
+
+  test("column-subset decode rebinds names case-insensitively like the reference reader") {
+    val pages = WebGen.pages(spark, 1000, seed = 33, partitions = 2).toDF()
+    val out = s"$tmp/ci-subset"
+    val result = EncodeJob.run(pages, EncodeJob.Config(out, 2, Some("lang")))
+    val subset = EncodeJob.readBack(spark, out, result.specs, Some(Seq("URL", "Lang")))
+    // canonical (spec) casing wins in the output schema
+    assert(subset.schema.fieldNames.toSeq == Seq("url", "lang"))
+    assert(subset.count() == 1000)
+  }
+
   test("skew salting: no partition holds more than ~3x the mean") {
     val pages = WebGen.pages(spark, 20000, seed = 13, partitions = 8).toDF()
     val parted = EncodeJob.partitionWithSalt(pages, EncodeJob.Config(s"$tmp/skew", 16, Some("lang")))
