@@ -51,6 +51,15 @@ object SparkEntry {
         col("l_linenumber").cast("byte").as("v_byte"),
         (col("l_suppkey") % 1000).cast("short").as("v_short"),
         col("l_quantity").cast("decimal(18,6)").as("v_decimal"),
+        // >64-bit mantissa path (DECIMAL128 big-varint): value built via
+        // string concat so both engines parse the identical exact literal
+        // (no double→decimal rounding divergence); negatives on odd keys,
+        // nulls on linenumber 7
+        when(col("l_linenumber") === 7, lit(null))
+          .otherwise(concat(
+            when(col("l_orderkey") % 2 === 1, lit("-")).otherwise(lit("")),
+            col("l_orderkey").cast("string"), lit("00000000000000000001.5")))
+          .cast("decimal(38,4)").as("v_dec38"),
         col("l_discount").cast("float").as("v_float"),
         (col("l_orderkey") % 2 === 0).as("v_bool"),
         col("l_shipdate").cast("date").as("v_date"),
@@ -62,6 +71,7 @@ object SparkEntry {
       roundTrip(s, li)
         .withColumn("v_binary", base64(col("v_binary")))
         .withColumn("v_decimal", col("v_decimal").cast("string"))
+        .withColumn("v_dec38", col("v_dec38").cast("string"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -248,7 +258,8 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
       val queries = emb.orderBy("vec_id").limit(5)
-      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10, planes = 6)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10, planes = 6,
+          probeBits = 1, tables = 2)
         .orderBy("query_id", "rank")
     }),
     "q_embed_neardup" -> ((s, dir) => {
@@ -320,6 +331,10 @@ object SparkEntry {
         | CAST(l_linenumber AS TINYINT) AS v_byte,
         | CAST(l_suppkey % 1000 AS SMALLINT) AS v_short,
         | CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR) AS v_decimal,
+        | CAST(CAST(CASE WHEN l_linenumber = 7 THEN NULL
+        |   ELSE (CASE WHEN l_orderkey % 2 = 1 THEN '-' ELSE '' END)
+        |     || CAST(l_orderkey AS VARCHAR) || '00000000000000000001.5'
+        |   END AS DECIMAL(38,4)) AS VARCHAR) AS v_dec38,
         | CAST(l_discount AS FLOAT) AS v_float,
         | (l_orderkey % 2 = 0) AS v_bool,
         | CAST(l_shipdate AS DATE) AS v_date,

@@ -29,6 +29,7 @@ object Codecs {
   final val DoubleRaw = "DOUBLE_RAW"
   final val FloatRaw = "FLOAT_RAW"
   final val Decimal18 = "DECIMAL18"
+  final val Decimal128 = "DECIMAL128"
 }
 
 /** One encoded column chunk: named byte streams + row/null counts.
@@ -520,5 +521,33 @@ object ColumnCodec {
     while (i < n) { mantissas(i) = BitOps.readVarIntSigned(in); i += 1 }
     val scales = RleV2Reader.read(new BytesIn(cs.streams(Streams.Secondary)), signed = true, n)
     (mantissas, scales, present)
+  }
+
+  // ---------- DECIMAL(19..38, s): BigInteger mantissa varint DATA + scale RLEv2 SECONDARY ----------
+  // The reference's >64-bit path (BitManipulation.cs:313-425 WriteVarIntSigned
+  // over BigInteger); same stream shape as DECIMAL18, wider mantissas.
+
+  def encodeDecimal128(unscaled: Array[java.math.BigInteger], scales: Array[Long],
+                       present: Array[Boolean], aligned: Boolean = false): ColumnStreams = {
+    val nullCount = countNulls(present)
+    val dataBuf = new ByteBuf(unscaled.length * 4 + 16)
+    var i = 0
+    while (i < unscaled.length) { BitOps.writeBigVarIntSigned(dataBuf, unscaled(i)); i += 1 }
+    val secondaryBuf = new ByteBuf(scales.length + 16)
+    RleV2Writer.write(secondaryBuf, scales, signed = true, aligned = aligned)
+    ColumnStreams(Codecs.Decimal128, present.length, nullCount,
+      withPresent(Map(Streams.Data -> dataBuf.toArray, Streams.Secondary -> secondaryBuf.toArray),
+        present, nullCount))
+  }
+
+  def decodeDecimal128(cs: ColumnStreams): (Array[java.math.BigInteger], Array[Long], Array[Boolean]) = {
+    val present = readPresent(cs)
+    val n = cs.rowCount - cs.nullCount
+    val in = new BytesIn(cs.streams(Streams.Data))
+    val unscaled = new Array[java.math.BigInteger](n)
+    var i = 0
+    while (i < n) { unscaled(i) = BitOps.readBigVarIntSigned(in); i += 1 }
+    val scales = RleV2Reader.read(new BytesIn(cs.streams(Streams.Secondary)), signed = true, n)
+    (unscaled, scales, present)
   }
 }

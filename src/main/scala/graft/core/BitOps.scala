@@ -203,6 +203,36 @@ object BitOps {
   def readVarIntSigned(in: BytesIn): Long =
     zigzagDecode(readVarIntUnsigned(in))
 
+  /** Arbitrary-precision signed varint — the reference's 128-bit decimal
+    * mantissa path (BitManipulation.cs:313-425): zigzag the BigInteger to
+    * a non-negative magnitude, then LEB128 groups. Values that fit a long
+    * take the long fast path; the wire format is identical either way
+    * (zigzag(n) for BigInteger == zigzag(n.longValue) when n fits).
+    */
+  def writeBigVarIntSigned(out: ByteBuf, value: java.math.BigInteger): Unit = {
+    if (value.bitLength <= 62) { writeVarIntSigned(out, value.longValueExact); return }
+    // zigzag: n>=0 -> 2n; n<0 -> -2n-1 == not(n<<1)
+    var u = if (value.signum < 0) value.shiftLeft(1).not else value.shiftLeft(1)
+    while (u.bitLength > 7) {
+      out.writeByte((u.intValue & 0x7f) | 0x80)
+      u = u.shiftRight(7)
+    }
+    out.writeByte(u.intValue & 0x7f)
+  }
+
+  def readBigVarIntSigned(in: BytesIn): java.math.BigInteger = {
+    var u = java.math.BigInteger.ZERO
+    var shift = 0
+    var b = 0
+    do {
+      b = in.checkedByte()
+      // ≤ ~20 groups for decimal(38): the or-shift loop stays cheap
+      u = u.or(java.math.BigInteger.valueOf((b & 0x7f).toLong).shiftLeft(shift))
+      shift += 7
+    } while (b >= 0x80)
+    if (u.testBit(0)) u.shiftRight(1).not else u.shiftRight(1)
+  }
+
   /** True when `left - right` would overflow a signed 64-bit long. */
   @inline def subtractionWouldOverflow(left: Long, right: Long): Boolean =
     !((left ^ right) >= 0 || (left ^ (left - right)) >= 0)

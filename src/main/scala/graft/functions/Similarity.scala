@@ -76,34 +76,69 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: sign bit per pseudo-random plane.
     * Planes are derived from xxhash64 of (dimension, plane) — fully
     * deterministic, no stored model; a plane's weight for dimension d is
-    * a hash-derived value in [-1, 1).
+    * a hash-derived value in [-1, 1). `table` offsets the plane ids so
+    * each hash table draws an independent set of planes.
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int, table: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      // projection = Σ_d vec[d] * w(p, d); w derived from xxhash64(d, p)
+      val planeId = table * planes + p
+      // projection = Σ_d vec[d] * w(plane, d); w derived from xxhash64(d, plane)
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * (pmod(xxhash64(d, lit(p)), lit(2000001)).cast("double") / lit(1000000.0) - lit(1.0))),
+          (x, d) => x * (pmod(xxhash64(d, lit(planeId)), lit(2000001)).cast("double") / lit(1000000.0) - lit(1.0))),
         lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed approximate top-k: queries join only their bucket.
-    * Recall is tuned by lowering `planes` (bigger buckets) — the
-    * IVF-style scale path where brute force is unaffordable.
+  /** LSH-bucketed approximate top-k: queries join only their probe
+    * buckets. Recall is tuned three ways (standard LSH knobs):
+    *   - `planes` down → bigger buckets (more candidates per probe);
+    *   - `probeBits` up → multi-probe: also search every bucket within
+    *     Hamming distance ≤ probeBits of the query's bucket
+    *     (near-boundary neighbors land exactly there) — query-side
+    *     fan-out only, corpus state unchanged;
+    *   - `tables` up → OR-construction over independent hyperplane sets:
+    *     a neighbor is found if ANY table buckets it with the query.
+    *     Corpus-side state grows ×tables (the classic LSH space/recall
+    *     trade); candidate pairs found by several tables are deduped
+    *     before scoring so the top-k heap never sees a duplicate id.
+    * The IVF-style scale path where brute force is unaffordable: per
+    * query the work is |probes| bucket lookups against a bucket-hashed
+    * corpus, not a corpus scan.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
-              k: Int = 10, planes: Int = 8): DataFrame = {
+              k: Int = 10, planes: Int = 8, probeBits: Int = 1,
+              tables: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 2, s"probeBits in 0..2, got $probeBits")
+    require(tables >= 1 && tables <= 16, s"tables in 1..16, got $tables")
+    require(planes >= 1 && planes <= 30, s"planes in 1..30, got $planes")
+    // combined bucket id: (table index << 32) | table-local sign bits
+    def tb(t: Int): Column = lit(t.toLong << 32)
+    val corpusBuckets = (0 until tables).map(t =>
+      tb(t).bitwiseOR(hyperplaneBucket(col(vecCol), planes, t)))
     val c = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__bucket", hyperplaneBucket(col(vecCol), planes))
+      .withColumn("__bucket", explode(array(corpusBuckets: _*)))
+    // within one table, probe buckets are pairwise distinct and each
+    // corpus row lives in exactly one bucket — duplicates only arise
+    // across tables
+    val probes: Seq[Column] = (0 until tables).flatMap { t =>
+      val base = hyperplaneBucket(col("__qvec"), planes, t)
+      Seq(tb(t).bitwiseOR(base)) ++
+        (if (probeBits >= 1)
+          (0 until planes).map(p => tb(t).bitwiseOR(base.bitwiseXOR(lit(1L << p)))) else Nil) ++
+        (if (probeBits >= 2)
+          (for { a <- 0 until planes; b <- (a + 1) until planes }
+            yield tb(t).bitwiseOR(base.bitwiseXOR(lit((1L << a) | (1L << b))))) else Nil)
+    }
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"))
-      .withColumn("__bucket", hyperplaneBucket(col("__qvec"), planes))
-    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .withColumn("__bucket", explode(array(probes: _*)))
+    val cand = c.join(broadcast(q), Seq("__bucket"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
+    val deduped = if (tables > 1) cand.dropDuplicates("query_id", idCol) else cand
+    val scored = deduped.withColumn("cosine", cosine(col(vecCol), col("__qvec")))
     val grouped = scored.groupBy(col("query_id"))
       .agg(topKByScore(col("cosine"), col(idCol).cast("long"), k).as("__top"))
     explodeTopK(grouped, idCol)

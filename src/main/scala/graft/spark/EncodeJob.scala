@@ -290,12 +290,27 @@ object EncodeJob {
       .as[EncodedChunk]
   }
 
-  /** Read encoded chunks back into the original table shape. Pass
-    * `columns` to decode a subset (columnar projection pushdown: the
-    * other columns' blobs are never decompressed or shuffled).
+  /** Read encoded chunks back into the original table shape. Defaults to
+    * the zero-shuffle colocated path when a cheap metadata-only probe
+    * confirms the on-disk layout supports it (one whole chunk group per
+    * file region), falling back to the shuffled decode otherwise — e.g.
+    * after an external compaction rewrote the chunk files. At 100 TB the
+    * difference is the stream blobs crossing the network zero times vs
+    * once. Pass `columns` to decode a subset (columnar projection
+    * pushdown: the other columns' blobs are never decompressed or
+    * shuffled).
     */
   def readBack(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
-               columns: Option[Seq[String]] = None): DataFrame = columns match {
+               columns: Option[Seq[String]] = None): DataFrame =
+    if (colocatedLayoutOk(spark, outDir, specs)) readBackColocated(spark, outDir, specs, columns)
+    else readBackShuffled(spark, outDir, specs, columns)
+
+  /** Shuffle-based decode: one exchange moves each chunk group to a
+    * single task. Always correct regardless of file layout; the fallback
+    * when `colocatedLayoutOk` is false.
+    */
+  def readBackShuffled(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
+                       columns: Option[Seq[String]] = None): DataFrame = columns match {
     case None =>
       TableEncoder.unshred(TableEncoder.decode(committedChunks(spark, outDir), specs), specs)
     case Some(cols) =>
@@ -303,6 +318,43 @@ object EncodeJob {
       TableEncoder.unshred(
         TableEncoder.decodeColumns(committedChunks(spark, outDir), specs, cols), subset)
   }
+
+  /** Metadata-only probe for the zero-shuffle layout invariant: under the
+    * same pinned file splits the colocated read would use, every chunk
+    * group must appear as exactly `specs.length` adjacent rows within one
+    * partition, never interleaved or split. Reads just (part_id,
+    * chunk_id) — parquet column projection never touches the stream
+    * blobs, so the probe costs a fraction of a percent of the data even
+    * at 100 TB.
+    */
+  def colocatedLayoutOk(spark: SparkSession, outDir: String,
+                        specs: Array[ColumnSpec]): Boolean =
+    withPinnedSplits(spark, outDir) {
+      val nCols = specs.length
+      val committed = committedBatches(spark, outDir)
+      val meta = spark.read.parquet(chunkDir(outDir))
+        .filter(col("batch").isInCollection(committed.toSeq.map(Integer.valueOf)))
+        .select("part_id", "chunk_id")
+      val badCounts = meta.rdd.mapPartitions { it =>
+        val seen = scala.collection.mutable.HashSet[Long]()
+        var bad = 0L
+        var curKey = Long.MinValue
+        var run = 0
+        while (it.hasNext) {
+          val r = it.next()
+          val key = (r.getInt(0).toLong << 32) | (r.getInt(1).toLong & 0xffffffffL)
+          if (key == curKey) run += 1
+          else {
+            if (run != 0 && run != nCols) bad += 1
+            if (!seen.add(key)) bad += 1 // group re-appeared → interleaved
+            curKey = key; run = 1
+          }
+        }
+        if (run != 0 && run != nCols) bad += 1
+        Iterator.single(bad)
+      }.collect()
+      badCounts.sum == 0
+    }
 
   /** Shuffle-free read-back: pins file-split confs for this read so every
     * Spark partition covers exactly one whole chunk file (the writer
@@ -316,27 +368,9 @@ object EncodeJob {
     */
   def readBackColocated(spark: SparkSession, outDir: String,
                         specs: Array[ColumnSpec],
-                        columns: Option[Seq[String]] = None): DataFrame = {
-    import spark.implicits._
-    val conf = spark.conf
-    val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
-    val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
-    try {
-      // largest data file decides the split bound: maxPartitionBytes ≥
-      // largest file means no file is ever split; openCost == the bound
-      // means no two files ever share a partition (bin-packing closes the
-      // bin as soon as one file + one opening cost fills it)
-      val dir = new org.apache.hadoop.fs.Path(chunkDir(outDir))
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      var largest = 1L
-      val it = fs.listFiles(dir, /* recursive into batch= dirs */ true)
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && !s.getPath.getName.startsWith("_"))
-          largest = math.max(largest, s.getLen)
-      }
-      conf.set("spark.sql.files.maxPartitionBytes", largest.toString)
-      conf.set("spark.sql.files.openCostInBytes", largest.toString)
+                        columns: Option[Seq[String]] = None): DataFrame =
+    withPinnedSplits(spark, outDir) {
+      import spark.implicits._
       val chunks = committedChunks(spark, outDir)
       // column-subset filtering preserves per-group adjacency (a subset
       // of consecutive rows stays consecutive), so the sequential
@@ -353,6 +387,37 @@ object EncodeJob {
       // while the conf window is open; later actions cannot re-split
       val decoded = TableEncoder.decodeSequential(effChunks, effSpecs)
       TableEncoder.unshred(decoded, effSpecs)
+    }
+
+  /** Pin file-split confs for the duration of `body` so every Spark
+    * partition covers exactly one whole chunk file (the writer emits one
+    * file per encode task, chunk groups contiguous within it): largest
+    * data file decides the split bound — maxPartitionBytes ≥ largest file
+    * means no file is ever split; openCost == the bound means no two
+    * files ever share a partition (bin-packing closes the bin as soon as
+    * one file + one opening cost fills it). One-file-per-partition also
+    * preserves the encode tasks' parallelism: letting Spark pack many
+    * files into few partitions (openCostInBytes=0) measured 3× slower at
+    * local[32] from straggler partitions. The body must run its scans
+    * eagerly — confs are restored on exit.
+    */
+  private def withPinnedSplits[T](spark: SparkSession, outDir: String)(body: => T): T = {
+    val conf = spark.conf
+    val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      val dir = new org.apache.hadoop.fs.Path(chunkDir(outDir))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var largest = 1L
+      val it = fs.listFiles(dir, /* recursive into batch= dirs */ true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && !s.getPath.getName.startsWith("_"))
+          largest = math.max(largest, s.getLen)
+      }
+      conf.set("spark.sql.files.maxPartitionBytes", largest.toString)
+      conf.set("spark.sql.files.openCostInBytes", largest.toString)
+      body
     } finally {
       prevMax.fold(conf.unset("spark.sql.files.maxPartitionBytes"))(v =>
         conf.set("spark.sql.files.maxPartitionBytes", v))

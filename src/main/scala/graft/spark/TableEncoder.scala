@@ -58,6 +58,7 @@ object TableEncoder {
         case TimestampNTZType                              => "timestamp_ntz"
         case DateType                                      => "date"
         case d: DecimalType if d.precision <= 18           => "decimal"
+        case d: DecimalType if d.precision <= 38           => "decimal128"
         case dt => throw new IllegalArgumentException(s"unsupported column type for ${f.name}: $dt")
       }
       val narrow = f.dataType match {
@@ -313,6 +314,37 @@ object TableEncoder {
     override def clear(): Unit = { super.clear(); values.clear() }
   }
 
+  /** Decimal precision 19–38: unscaled BigInteger mantissa, schema-fixed
+    * scale (the reference's DecimalWriter >64-bit route). The shredded
+    * row still carries the real DecimalType — no long funnel exists for
+    * these widths. Min/max stats render as plain decimal strings so
+    * pruning can try_cast them to decimal/double.
+    */
+  private final class Decimal128ColBuf(scale: Int) extends ColBuf {
+    private val values = new ArrayBuffer[java.math.BigInteger]()
+    private var mn: java.math.BigInteger = null
+    private var mx: java.math.BigInteger = null
+    def add(row: Row, i: Int): Unit = {
+      rows += 1
+      if (row.isNullAt(i)) present.add(false)
+      else {
+        present.add(true)
+        val u = row.getDecimal(i).setScale(scale).unscaledValue
+        values += u
+        if (mn == null || u.compareTo(mn) < 0) mn = u
+        if (mx == null || u.compareTo(mx) > 0) mx = u
+        rawBytes += 16
+      }
+    }
+    def encode(aligned: Boolean): ColumnStreams =
+      ColumnCodec.encodeDecimal128(values.toArray, Array.fill(values.length)(scale.toLong),
+        present.toArray, aligned)
+    def minMax: (Option[String], Option[String]) =
+      (Option(mn).map(u => new java.math.BigDecimal(u, scale).toPlainString),
+        Option(mx).map(u => new java.math.BigDecimal(u, scale).toPlainString))
+    override def clear(): Unit = { super.clear(); values.clear(); mn = null; mx = null }
+  }
+
   private final class StringColBuf(codec: String) extends ColBuf {
     private val values = new ArrayBuffer[Array[Byte]]() // UTF-8 (shredded via cast to binary)
     private var mn: Array[Byte] = null
@@ -361,6 +393,7 @@ object TableEncoder {
     case "long"             => new LongColBuf("long", indexStride)
     case "timestamp" | "timestamp_ntz" => new LongColBuf("timestamp", indexStride)
     case "decimal"          => new LongColBuf("decimal:" + spec.narrow.split(',')(1), indexStride)
+    case "decimal128"       => new Decimal128ColBuf(spec.narrow.split(',')(1).toInt)
     case "date"             => new LongColBuf("date", indexStride)
     case "bool"             => new BoolColBuf
     case "double"           => new DoubleColBuf
@@ -374,6 +407,7 @@ object TableEncoder {
     case "long"      => Codecs.LongRleV2
     case "timestamp" | "timestamp_ntz" => Codecs.TimestampFor
     case "decimal"   => Codecs.Decimal18
+    case "decimal128" => Codecs.Decimal128
     case "date"      => Codecs.Date
     case "bool"      => Codecs.Bool
     case "double"    => Codecs.DoubleRaw
@@ -608,6 +642,9 @@ object TableEncoder {
     StructType(specs.map { s =>
       val dt = s.logical match {
         case "long" | "timestamp" | "timestamp_ntz" | "date" | "decimal" => LongType
+        case "decimal128" =>
+          val Array(p, sc) = s.narrow.split(',').map(_.toInt)
+          DecimalType(p, sc)
         case "bool"                        => BooleanType
         case "double"                      => DoubleType
         case "float"                       => FloatType
@@ -625,6 +662,9 @@ object TableEncoder {
   private final case class DoublesD(values: Array[Double], present: Array[Boolean]) extends Decoded
   private final case class FloatsD(values: Array[Float], present: Array[Boolean]) extends Decoded
   private final case class BinsD(values: Array[Array[Byte]], present: Array[Boolean]) extends Decoded
+  private final case class DecsD(values: Array[org.apache.spark.sql.types.Decimal],
+                                 precision: Int, scale: Int,
+                                 present: Array[Boolean]) extends Decoded
 
   private def decodeColumnPrim(cs: ColumnStreams, spec: ColumnSpec): Decoded = spec.logical match {
     case "long" if cs.codec == Codecs.ByteRleC =>
@@ -635,6 +675,17 @@ object TableEncoder {
       LongsD(longs, p)
     case "long"      => val (v, p) = ColumnCodec.decodeLong(cs); LongsD(v, p)
     case "decimal"   => val (v, _, p) = ColumnCodec.decodeDecimal18(cs); LongsD(v, p)
+    case "decimal128" =>
+      val (unscaled, scales, p) = ColumnCodec.decodeDecimal128(cs)
+      val Array(prec, sc) = spec.narrow.split(',').map(_.toInt)
+      val decs = new Array[org.apache.spark.sql.types.Decimal](unscaled.length)
+      var i = 0
+      while (i < unscaled.length) {
+        decs(i) = org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(unscaled(i), scales(i).toInt))
+        i += 1
+      }
+      DecsD(decs, prec, sc, p)
     case "timestamp" | "timestamp_ntz" => val (v, p) = ColumnCodec.decodeTimestamp(cs); LongsD(v, p)
     case "date"      => val (v, p) = ColumnCodec.decodeDate(cs); LongsD(v, p)
     case "bool"      => val (v, p) = ColumnCodec.decodeBool(cs); BoolsD(v, p)
@@ -718,6 +769,12 @@ object TableEncoder {
             case d: BoolsD =>
               if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
               else writer.setNullAt(c)
+            case d: DecsD =>
+              // p>18 decimals are variable-length in UnsafeRow: the writer
+              // must see the null too (it reserves the 16-byte slot and
+              // zeroes the offset), so never plain setNullAt here
+              if (d.present(r)) { writer.write(c, d.values(cursors(c)), d.precision, d.scale); cursors(c) += 1 }
+              else writer.write(c, null.asInstanceOf[org.apache.spark.sql.types.Decimal], d.precision, d.scale)
           }
           c += 1
         }

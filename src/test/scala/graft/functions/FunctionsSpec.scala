@@ -50,6 +50,22 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LSH multi-probe + multi-table recovers recall that single-probe loses") {
+    val q = embeddings.orderBy("vec_id").limit(8)
+    val exact = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(probeBits: Int, tables: Int): Double = {
+      val approx = Similarity.lshTopK(embeddings, q, "vec_id", "embedding", "vec_id",
+          k = 5, planes = 4, probeBits = probeBits, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(approx.contains).toDouble / exact.size
+    }
+    val single = recallOf(0, 1)
+    val multi = recallOf(1, 2)
+    assert(multi >= single, s"multi-probe/table recall $multi below single-probe $single")
+    assert(multi >= 0.5, s"Hamming-1 ×2-table recall too low: $multi (single-probe was $single)")
+  }
+
   test("minhash near-dup finds planted near-duplicates") {
     val base = docs.select("doc_id", "text")
     val planted = base.filter(col("doc_id") < 10).select(

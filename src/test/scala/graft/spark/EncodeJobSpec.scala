@@ -69,7 +69,7 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       "colocated decode plan contains a shuffle")
     assert(colocated.count() == 4000)
 
-    val viaShuffle = EncodeJob.readBack(spark, out, result.specs)
+    val viaShuffle = EncodeJob.readBackShuffled(spark, out, result.specs)
       .select("url", "text", "lang").orderBy("url").collect().toSeq
     val viaColoc = colocated
       .select("url", "text", "lang").orderBy("url").collect().toSeq
@@ -85,13 +85,46 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(subset.schema.fieldNames.toSeq == Seq("url", "lang"))
     assert(!subset.queryExecution.executedPlan.toString.contains("Exchange"),
       "subset colocated decode plan contains a shuffle")
-    val viaFull = EncodeJob.readBack(spark, out, result.specs)
+    val viaFull = EncodeJob.readBackShuffled(spark, out, result.specs)
       .select("url", "lang").orderBy("url").collect().toSeq
     assert(subset.orderBy("url").collect().toSeq == viaFull)
 
     // shuffle path too
-    val viaShuffleSubset = EncodeJob.readBack(spark, out, result.specs, Some(Seq("url", "lang")))
+    val viaShuffleSubset = EncodeJob.readBackShuffled(spark, out, result.specs, Some(Seq("url", "lang")))
     assert(viaShuffleSubset.orderBy("url").collect().toSeq == viaFull)
+  }
+
+  test("readBack auto-detects a compacted (non-colocated) layout and falls back to shuffle decode") {
+    val pages = WebGen.pages(spark, 2000, seed = 33, partitions = 4).toDF()
+    val out = s"$tmp/fallback"
+    val result = EncodeJob.run(pages, EncodeJob.Config(out, 4, Some("lang")))
+    assert(EncodeJob.colocatedLayoutOk(spark, out, result.specs),
+      "fresh encode output must satisfy the colocated layout")
+
+    // simulate an external compaction: rewrite every chunk file ordered by
+    // column name, scattering each chunk group's rows across the file
+    val chunkDir = EncodeJob.chunkDir(out)
+    val compacted = s"$tmp/fallback-compacted"
+    // batch becomes a plain data column (no partitionBy: the partitioned
+    // writer re-sorts rows by the partition key, which would restore the
+    // very adjacency this test needs to destroy)
+    spark.read.parquet(chunkDir)
+      .repartition(1).sortWithinPartitions("column", "part_id", "chunk_id")
+      .write.parquet(compacted)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(chunkDir))
+    assert(new java.io.File(compacted).renameTo(new java.io.File(chunkDir)))
+
+    assert(!EncodeJob.colocatedLayoutOk(spark, out, result.specs),
+      "probe must detect the interleaved layout")
+    // auto readBack must fall back to the shuffled path and still be exact
+    val decoded = EncodeJob.readBack(spark, out, result.specs)
+    assert(decoded.count() == 2000)
+    assert(decoded.exceptAll(pages).count() == 0)
+    assert(pages.exceptAll(decoded).count() == 0)
   }
 
   test("compression: encoded size beats raw and dictionary kicks in on lang") {
@@ -182,6 +215,31 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decoded.schema == li.schema ||
       decoded.schema.map(f => (f.name, f.dataType)) == li.schema.map(f => (f.name, f.dataType)))
     // exact multiset equality via exceptAll in both directions
+    assert(decoded.exceptAll(li).count() == 0)
+    assert(li.exceptAll(decoded).count() == 0)
+  }
+
+  test("decimal(38,x): >64-bit mantissas round trip through the DECIMAL128 big-varint path") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        // exact string-built literals: mantissa ~1e23 > Long.Max, negatives
+        // on odd keys, nulls on linenumber 7
+        when(col("l_linenumber") === 7, lit(null))
+          .otherwise(concat(
+            when(col("l_orderkey") % 2 === 1, lit("-")).otherwise(lit("")),
+            col("l_orderkey").cast("string"), lit("00000000000000000001.5")))
+          .cast("decimal(38,4)").as("big"),
+        col("l_quantity").cast("decimal(38,10)").as("wide"))
+    val codecs = EncodeJob.pinStringCodecs(li, 1000)
+    val specs = TableEncoder.columnSpecs(li.schema, codecs)
+    assert(specs.find(_.name == "big").get.logical == "decimal128")
+    val chunks = TableEncoder.encode(TableEncoder.shred(li, specs), specs)
+    assert(chunks.filter(col("column") === "big").head().codec == "DECIMAL128")
+    val decoded = TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
+    assert(decoded.schema.map(f => (f.name, f.dataType)) == li.schema.map(f => (f.name, f.dataType)))
     assert(decoded.exceptAll(li).count() == 0)
     assert(li.exceptAll(decoded).count() == 0)
   }
