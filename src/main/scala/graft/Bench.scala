@@ -165,6 +165,33 @@ object Bench {
       } finally s.stop()
     }
 
+    // -------- fast-mode compression (zstd) at local[cpus] --------
+    // zlib is the reference-parity default; zstd is the 100 TB fast mode.
+    // Same pipeline shape as encodeOnce: gen timed separately, min of 2.
+    val (zstdEncSec, zstdEncodedBytes) = {
+      val s = session(cpus)
+      try {
+        val pages = WebGen.pages(s, benchRows, seed = 42, partitions = cpus * 3).toDF()
+        val codecs = EncodeJob.pinStringCodecs(pages, 5000)
+        val specs = TableEncoder.columnSpecs(pages.schema, codecs)
+        val shredded = TableEncoder.shred(pages, specs)
+        var enc = 0L
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          enc = TableEncoder.encode(shredded, specs,
+            compression = graft.core.BlockCompression.Zstd)
+            .agg(sum(col("encoded_bytes"))).first().getLong(0)
+          (System.nanoTime() - t0) / 1e9
+        }
+        pass() // warm
+        val t0 = System.nanoTime()
+        pages.select(sum(length(col("text")) + octet_length(col("html")))).first()
+        val gen = (System.nanoTime() - t0) / 1e9
+        val sec = math.min(pass(), pass())
+        (math.max(0.001, sec - gen), enc)
+      } finally s.stop()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val perLevel = levels.map { l =>
@@ -179,7 +206,10 @@ object Bench {
         f""""scaling_efficiency_${cpus / 8}%d_${cpus / 2}%d":$effFit%.3f,""" +
         f""""scaling_efficiency_${cpus / 16}%d_${cpus / 4}%d":$effSmall%.3f,""" +
         f""""decode_sec$cpus%d":$decodeSec%.2f,"decode_gbps$cpus%d":${rawBytes / 1e9 / math.max(0.001, decodeSec)}%.3f,"decode_rows":$decodeRows%d,""" +
-        f""""bytes_per_doc":${encodedBytes.toDouble / benchRows}%.1f,"compression_ratio":${encodedBytes.toDouble / rawBytes}%.4f}"""
+        f""""bytes_per_doc":${encodedBytes.toDouble / benchRows}%.1f,"compression_ratio":${encodedBytes.toDouble / rawBytes}%.4f,""" +
+        f""""encode_gbps${cpus}%d_zstd":${rawBytes / 1e9 / zstdEncSec}%.3f,""" +
+        f""""bytes_per_doc_zstd":${zstdEncodedBytes.toDouble / benchRows}%.1f,""" +
+        f""""compression_ratio_zstd":${zstdEncodedBytes.toDouble / rawBytes}%.4f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":$encodeJson}""")
   }

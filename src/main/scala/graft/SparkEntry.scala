@@ -178,7 +178,9 @@ object SparkEntry {
       s.sql(
         """SELECT doc_id,
           |  cast(fsst_decompress(fsst_compress(cast(text AS binary))) AS string) AS text2,
-          |  cast(zlib_unblock(zlib_block(cast(lang AS binary))) AS string) AS lang2
+          |  cast(zlib_unblock(zlib_block(cast(lang AS binary))) AS string) AS lang2,
+          |  cast(zstd_unblock(zstd_block(cast(text AS binary))) AS string) AS text_zstd,
+          |  cast(lz4_unblock(lz4_block(cast(text AS binary))) AS string) AS text_lz4
           |FROM graft_docs ORDER BY doc_id""".stripMargin)
     }),
 
@@ -375,7 +377,7 @@ object SparkEntry {
         |   NULLIF(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1, 0), 4) AS mean_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sql_codecs" ->
-      "SELECT doc_id, text AS text2, lang AS lang2 FROM documents ORDER BY doc_id",
+      "SELECT doc_id, text AS text2, lang AS lang2, text AS text_zstd, text AS text_lz4 FROM documents ORDER BY doc_id",
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') toks FROM documents),
         |g AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')

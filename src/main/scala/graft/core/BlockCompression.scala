@@ -1,0 +1,99 @@
+package graft.core
+
+/** Stream-blob compression kinds, matching the ORC spec's CompressionKind
+  * surface (NONE/ZLIB/LZ4/ZSTD — the reference wires only ZLIB,
+  * CompressionFactory.cs:21-47; LZ4/ZSTD are spec'd kinds this engine
+  * adds for the throughput/ratio trade at scale).
+  *
+  * - zlib: the ORC 3-byte block framing (ZlibBlock) — the parity-mode
+  *   default, size-comparable with the reference.
+  * - zstd: one whole-stream zstd frame behind a 1-byte raw/compressed
+  *   flag. ~4-6× the per-core compress throughput of deflate at equal or
+  *   better ratio; the fast mode for 100 TB ingest. No sub-blocking:
+  *   chunk streams are whole-blob addressable here (SURVEY §2.5), so the
+  *   zlib path's seekable 256 KiB blocks buy nothing.
+  * - lz4: flag + varint original length + one LZ4 block. Fastest, worst
+  *   ratio — for pipelines bounded by CPU, not storage.
+  * - none: identity (the raw streams are already entropy-coded by the
+  *   value codecs for many columns).
+  *
+  * Every payload is self-describing given its kind (recorded per chunk),
+  * and skip-compression-if-bigger applies to all kinds like the
+  * reference's OrcCompressedStream.cs:49-107.
+  */
+object BlockCompression {
+  final val Zlib = "zlib"
+  final val Zstd = "zstd"
+  final val Lz4 = "lz4"
+  final val None_ = "none"
+
+  final val All: Seq[String] = Seq(Zlib, Zstd, Lz4, None_)
+
+  /** zstd level 1 ≈ deflate BEST_SPEED's ratio at several times the
+    * throughput; levels are a future knob, parity with the reference's
+    * Speed strategy for now.
+    */
+  private final val ZstdLevel = 1
+
+  private final val FlagRaw: Byte = 0
+  private final val FlagCompressed: Byte = 1
+
+  private lazy val lz4Compressor = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+  private lazy val lz4Decompressor = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+
+  def compress(kind: String, data: Array[Byte]): Array[Byte] = kind match {
+    case Zlib  => ZlibBlock.compress(data)
+    case None_ => data
+    case Zstd =>
+      if (data.isEmpty) return Array.emptyByteArray
+      val comp = com.github.luben.zstd.Zstd.compress(data, ZstdLevel)
+      if (comp.length + 1 >= data.length + 1) flagged(FlagRaw, data)
+      else flagged(FlagCompressed, comp)
+    case Lz4 =>
+      if (data.isEmpty) return Array.emptyByteArray
+      val comp = lz4Compressor.compress(data)
+      if (comp.length + 6 >= data.length + 1) flagged(FlagRaw, data)
+      else {
+        val out = new ByteBuf(comp.length + 6)
+        out.writeByte(FlagCompressed.toInt)
+        BitOps.writeVarIntUnsigned(out, data.length.toLong)
+        out.writeBytes(comp)
+        out.toArray
+      }
+    case other => throw new IllegalArgumentException(s"unknown compression kind: $other")
+  }
+
+  def decompress(kind: String, data: Array[Byte]): Array[Byte] = kind match {
+    case Zlib  => ZlibBlock.decompress(data)
+    case None_ => data
+    case Zstd =>
+      if (data.isEmpty) return Array.emptyByteArray
+      if (data(0) == FlagRaw) java.util.Arrays.copyOfRange(data, 1, data.length)
+      else {
+        val payload = java.util.Arrays.copyOfRange(data, 1, data.length)
+        val size = com.github.luben.zstd.Zstd.getFrameContentSize(payload)
+        require(size >= 0 && size <= Int.MaxValue, s"bad zstd frame content size: $size")
+        com.github.luben.zstd.Zstd.decompress(payload, size.toInt)
+      }
+    case Lz4 =>
+      if (data.isEmpty) return Array.emptyByteArray
+      if (data(0) == FlagRaw) java.util.Arrays.copyOfRange(data, 1, data.length)
+      else {
+        val in = new BytesIn(data)
+        in.checkedByte() // flag
+        val origLen = BitOps.readVarIntUnsigned(in).toInt
+        val out = new Array[Byte](origLen)
+        val read = lz4Decompressor.decompress(data, in.pos, data.length - in.pos, out, 0)
+        require(read == origLen, s"lz4 short decompress: $read of $origLen")
+        out
+      }
+    case other => throw new IllegalArgumentException(s"unknown compression kind: $other")
+  }
+
+  private def flagged(flag: Byte, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](payload.length + 1)
+    out(0) = flag
+    System.arraycopy(payload, 0, out, 1, payload.length)
+    out
+  }
+}

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.core.{ByteBuf, BytesIn, Fsst, RleV2Reader, RleV2Writer, ZlibBlock}
+import graft.core.{BlockCompression, ByteBuf, BytesIn, Fsst, RleV2Reader, RleV2Writer, ZlibBlock}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -59,6 +59,15 @@ object CodecKernels {
 
   def zlibBlock(data: Array[Byte]): Array[Byte] = ZlibBlock.compress(data)
   def zlibUnblock(data: Array[Byte]): Array[Byte] = ZlibBlock.decompress(data)
+
+  def zstdBlock(data: Array[Byte]): Array[Byte] =
+    BlockCompression.compress(BlockCompression.Zstd, data)
+  def zstdUnblock(data: Array[Byte]): Array[Byte] =
+    BlockCompression.decompress(BlockCompression.Zstd, data)
+  def lz4Block(data: Array[Byte]): Array[Byte] =
+    BlockCompression.compress(BlockCompression.Lz4, data)
+  def lz4Unblock(data: Array[Byte]): Array[Byte] =
+    BlockCompression.decompress(BlockCompression.Lz4, data)
 }
 
 sealed abstract class CodecExpr(kernel: String, in: DataType, out: DataType)
@@ -125,4 +134,32 @@ case class ZlibUnblockExpr(child: Expression)
   override def nullSafeEval(v: Any): Any = CodecKernels.zlibUnblock(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "zlib_unblock"
+}
+
+case class ZstdBlockExpr(child: Expression)
+    extends CodecExpr("zstdBlock", BinaryType, BinaryType) {
+  override def nullSafeEval(v: Any): Any = CodecKernels.zstdBlock(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "zstd_block"
+}
+
+case class ZstdUnblockExpr(child: Expression)
+    extends CodecExpr("zstdUnblock", BinaryType, BinaryType) {
+  override def nullSafeEval(v: Any): Any = CodecKernels.zstdUnblock(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "zstd_unblock"
+}
+
+case class Lz4BlockExpr(child: Expression)
+    extends CodecExpr("lz4Block", BinaryType, BinaryType) {
+  override def nullSafeEval(v: Any): Any = CodecKernels.lz4Block(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lz4_block"
+}
+
+case class Lz4UnblockExpr(child: Expression)
+    extends CodecExpr("lz4Unblock", BinaryType, BinaryType) {
+  override def nullSafeEval(v: Any): Any = CodecKernels.lz4Unblock(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lz4_unblock"
 }

@@ -29,6 +29,10 @@ object GraftExtensions {
     "rle_decode" -> { args: Seq[Expression] => RleDecodeExpr(args.head) },
     "zlib_block" -> { args: Seq[Expression] => ZlibBlockExpr(args.head) },
     "zlib_unblock" -> { args: Seq[Expression] => ZlibUnblockExpr(args.head) },
+    "zstd_block" -> { args: Seq[Expression] => ZstdBlockExpr(args.head) },
+    "zstd_unblock" -> { args: Seq[Expression] => ZstdUnblockExpr(args.head) },
+    "lz4_block" -> { args: Seq[Expression] => Lz4BlockExpr(args.head) },
+    "lz4_unblock" -> { args: Seq[Expression] => Lz4UnblockExpr(args.head) },
     "cosine_similarity" -> { args: Seq[Expression] => CosineSimilarity(args(0), args(1)) },
   )
 

@@ -26,7 +26,10 @@ final case class EncodedChunk(
     // non-null values carry (Long.MinValue, Long.MaxValue) = always-keep.
     stride_rows: Int = 0,
     stride_mins: Option[Seq[Long]] = None,
-    stride_maxs: Option[Seq[Long]] = None)
+    stride_maxs: Option[Seq[Long]] = None,
+    // Stream-blob compression kind (BlockCompression); None = zlib, the
+    // wire default before the kind was recorded.
+    compression: Option[String] = None)
 
 /** Per-partition lineage + metrics row, the manifest/commit-log analogue
   * of the reference's Footer/Metadata tail (OrcWriter.cs:57-98). A

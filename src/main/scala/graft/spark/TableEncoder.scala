@@ -429,7 +429,8 @@ object TableEncoder {
              chunkTargetBytes: Long = DefaultChunkTargetBytes,
              partIdOffset: Int = 0,
              indexStrideRows: Int = DefaultIndexStrideRows,
-             aligned: Boolean = false): Dataset[EncodedChunk] = {
+             aligned: Boolean = false,
+             compression: String = graft.core.BlockCompression.Zlib): Dataset[EncodedChunk] = {
     val spark = shredded.sparkSession
     import spark.implicits._
     val specsB = spark.sparkContext.broadcast(specs)
@@ -450,14 +451,17 @@ object TableEncoder {
         else {
           val out = sp.indices.iterator.map { i =>
             val cs = bufs(i).encode(aligned)
-            val zstreams = cs.streams.map { case (k, v) => k -> ZlibBlock.compress(v) }
+            val zstreams = cs.streams.map { case (k, v) =>
+              k -> graft.core.BlockCompression.compress(compression, v)
+            }
             val (mn, mx) = bufs(i).minMax
             val (sMins, sMaxs) = bufs(i).strideStats
             EncodedChunk(pid, chunkId, firstRow, sp(i).name, cs.codec,
               cs.rowCount, cs.nullCount, zstreams,
               bufs(i).rawBytes, zstreams.valuesIterator.map(_.length.toLong).sum, mn, mx,
               bufs(i).sumVal,
-              if (sMins.isDefined) indexStrideRows else 0, sMins, sMaxs)
+              if (sMins.isDefined) indexStrideRows else 0, sMins, sMaxs,
+              compression = Some(compression))
           }.toArray
           firstRow += rowsInChunk
           chunkId += 1
@@ -713,7 +717,10 @@ object TableEncoder {
       val chunk = byCol(specs(i).name)
       if (rowCount < 0) rowCount = chunk.row_count
       require(chunk.row_count == rowCount, s"chunk row_count mismatch on ${specs(i).name}")
-      val streams = chunk.streams.map { case (k, v) => k -> ZlibBlock.decompress(v) }
+      val kind = chunk.compression.getOrElse(graft.core.BlockCompression.Zlib)
+      val streams = chunk.streams.map { case (k, v) =>
+        k -> graft.core.BlockCompression.decompress(kind, v)
+      }
       cols(i) = decodeColumnPrim(
         ColumnStreams(chunk.codec, chunk.row_count, chunk.null_count, streams), specs(i))
       i += 1

@@ -51,6 +51,17 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(0))
   }
 
+  test("zstd_block/lz4_block round-trip and compress in SQL") {
+    for (fn <- Seq("zstd", "lz4")) {
+      val r = spark.sql(
+        s"""SELECT cast(${fn}_unblock(${fn}_block(cast(repeat('abcdef', 5000) AS binary))) AS string)
+           |       = repeat('abcdef', 5000) AS ok,
+           |       length(${fn}_block(cast(repeat('abcdef', 5000) AS binary))) AS n""".stripMargin).first()
+      assert(r.getBoolean(0), s"$fn round trip")
+      assert(r.getAs[Number](1).longValue() < 5000, s"$fn did not compress")
+    }
+  }
+
   test("cosine_similarity is registered in SQL and stays in codegen") {
     // range() scan (not a local relation, which evaluates at the driver)
     // so the expression provably runs inside WholeStageCodegen

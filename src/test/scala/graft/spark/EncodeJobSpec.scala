@@ -253,6 +253,23 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docs.exceptAll(decoded).count() == 0)
   }
 
+  test("zstd and lz4 compression kinds: exact round trip, kind recorded per chunk") {
+    val pages = WebGen.pages(spark, 2000, seed = 5, partitions = 2).toDF()
+    for (kind <- Seq(graft.core.BlockCompression.Zstd, graft.core.BlockCompression.Lz4)) {
+      val out = s"$tmp/comp-$kind"
+      val result = EncodeJob.run(pages, EncodeJob.Config(out, 2, Some("lang"), compression = kind))
+      val chunks = spark.read.parquet(result.chunkDir)
+      assert(chunks.select("compression").distinct().collect().map(_.getString(0)).toSeq == Seq(kind))
+      val decoded = EncodeJob.readBack(spark, out, result.specs)
+      assert(decoded.exceptAll(pages).count() == 0, s"$kind decode diverged")
+      assert(pages.exceptAll(decoded).count() == 0, s"$kind decode lost rows")
+      // still genuinely compressed end-to-end
+      val (raw, enc) = chunks.agg(sum("raw_bytes"), sum("encoded_bytes")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).head
+      assert(enc < raw / 2, s"$kind: $enc of $raw")
+    }
+  }
+
   test("aligned encoding strategy: round trip identical, sizes within a few % of unaligned") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val outA = s"$tmp/aligned"
