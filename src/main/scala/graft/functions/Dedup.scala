@@ -34,21 +34,21 @@ object Dedup {
         s => s.isNotNull))
   }
 
-  /** MinHash signature: K independent min-hashes over the shingle set,
-    * computed by exploding shingles and aggregating K mins per row id —
-    * all xxhash64 expressions, fully codegen'd.
+  /** MinHash signature: K min-hashes over the shingle set, computed by
+    * the fused native expression (graft.plans.MinHashSignature) — a
+    * narrow per-row map inside WholeStageCodegen. No explode, no shuffle:
+    * the previous explode→groupBy formulation moved |corpus|×|shingles|
+    * rows through an aggregation and was the round-1 bench's dominant
+    * cost. Docs with fewer than shingleSize tokens have no shingle set
+    * and are dropped (same as the aggregation path).
     *
     * Returns df with columns: idCol, minhash (array<long> length K).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
-    val mins = (0 until k).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__m$i"))
-    exploded.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("minhash"))
-  }
+                        k: Int = 32, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol),
+        graft.plans.MinHashSignature(col(textCol), k, shingleSize).as("minhash"))
+      .filter(col("minhash").isNotNull)
 
   /** Hot-bucket guard for LSH self-joins: a bucket with B members
     * produces B² candidate pairs, and real web data HAS degenerate
@@ -97,6 +97,10 @@ object Dedup {
             (0 until rowsPerBand).map(r =>
               element_at(col("minhash"), (b * rowsPerBand + r + 1).cast("int")).cast("string")): _*), b))
       ).as(Seq("band", "bucket")))
+      // (id, band, bucket) is read three times below (hot-bucket count +
+      // both sides of the self-join); persisting the tiny bucket table
+      // stops the signature scan from running three times over the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cool = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
 
     val candidates = cool.alias("a")
@@ -155,6 +159,9 @@ object Dedup {
                               planes: Int = 12, threshold: Double = 0.95,
                               maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bucketed = df.withColumn("__bucket", Similarity.hyperplaneBucket(col(vecCol), planes))
+      // read three times (bucket count + both join sides); the hyperplane
+      // projection is interpreted HOF work worth computing once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cool = dropHotBuckets(bucketed, Seq("__bucket"), maxBucketSize)
     val pairs = cool.alias("a")
       .join(cool.alias("b"),

@@ -77,9 +77,18 @@ object Similarity {
     * Planes are derived from xxhash64 of (dimension, plane) — fully
     * deterministic, no stored model; a plane's weight for dimension d is
     * a hash-derived value in [-1, 1). `table` offsets the plane ids so
-    * each hash table draws an independent set of planes.
+    * each hash table draws an independent set of planes. Computed by the
+    * native fused expression (graft.plans.HyperplaneBucket) — one loop,
+    * cached weight vectors, stays in codegen.
     */
-  def hyperplaneBucket(vec: Column, planes: Int, table: Int = 0): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int, table: Int = 0): Column =
+    graft.plans.HyperplaneBucket(vec, planes, table)
+
+  /** Composable reference formulation (interpreted higher-order
+    * functions) — kept to cross-check the native expression in tests;
+    * bit-identical buckets by construction.
+    */
+  def hyperplaneBucketHof(vec: Column, planes: Int, table: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val planeId = table * planes + p
       // projection = Σ_d vec[d] * w(plane, d); w derived from xxhash64(d, plane)

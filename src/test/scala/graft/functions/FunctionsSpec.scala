@@ -50,6 +50,16 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native hyperplane bucket matches the composable HOF formulation bit-for-bit") {
+    for (table <- Seq(0, 1)) {
+      val bad = embeddings.limit(200).select(
+        Similarity.hyperplaneBucket(col("embedding"), 8, table).as("fast"),
+        Similarity.hyperplaneBucketHof(col("embedding"), 8, table).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(bad == 0, s"$bad rows diverge between native and HOF buckets (table=$table)")
+    }
+  }
+
   test("LSH multi-probe + multi-table recovers recall that single-probe loses") {
     val q = embeddings.orderBy("vec_id").limit(8)
     val exact = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", "vec_id", k = 5)
