@@ -352,6 +352,87 @@ object ColumnCodec {
     (values, present)
   }
 
+  /** One decoded byte-slice column: a single backing buffer plus
+    * per-value (start, length). The hot Spark decode path writes slices
+    * straight into UnsafeRows, so the per-value Array[Byte] allocations
+    * of decodeStrBytes/decodeBinary (one object + copy per value — the
+    * dominant decode allocation for text/html columns) disappear.
+    */
+  final case class ByteSlices(buf: Array[Byte], starts: Array[Int], lens: Array[Int])
+
+  def decodeBinarySlices(cs: ColumnStreams): (ByteSlices, Array[Boolean]) = {
+    val present = readPresent(cs)
+    val n = cs.rowCount - cs.nullCount
+    val lengths = RleV2Reader.read(new BytesIn(cs.streams(Streams.Length)), signed = false, n)
+    // zero copies: slices point into the decompressed DATA stream itself
+    (slicesOf(cs.streams(Streams.Data), lengths, n), present)
+  }
+
+  def decodeStrSlices(cs: ColumnStreams): (ByteSlices, Array[Boolean]) = {
+    val present = readPresent(cs)
+    val n = cs.rowCount - cs.nullCount
+    val slices = cs.codec match {
+      case Codecs.StringDirect =>
+        val lengths = RleV2Reader.read(new BytesIn(cs.streams(Streams.Length)), signed = false, n)
+        slicesOf(cs.streams(Streams.Data), lengths, n)
+      case Codecs.StringDictV2 =>
+        // one concat of the (sorted) dictionary; every value is a slice of it
+        val lookup = RleV2Reader.read(new BytesIn(cs.streams(Streams.Data)), signed = false, n)
+        val lengths = RleV2Reader.readAll(new BytesIn(cs.streams(Streams.Length)), signed = false)
+        val dictBuf = cs.streams(Streams.DictionaryData)
+        val dictStarts = new Array[Int](lengths.length)
+        var off = 0
+        var d = 0
+        while (d < lengths.length) { dictStarts(d) = off; off += lengths(d).toInt; d += 1 }
+        val starts = new Array[Int](n)
+        val lens = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val id = lookup(i).toInt
+          starts(i) = dictStarts(id)
+          lens(i) = lengths(id).toInt
+          i += 1
+        }
+        ByteSlices(dictBuf, starts, lens)
+      case Codecs.StringFsst =>
+        // decompress every value into ONE growing buffer, record offsets
+        val table = Fsst.SymbolTable.deserialize(new BytesIn(cs.streams(Streams.SymbolTable)))
+        val lengths = RleV2Reader.read(new BytesIn(cs.streams(Streams.Length)), signed = false, n)
+        val data = cs.streams(Streams.Data)
+        val big = new ByteBuf(data.length * 3 + 64)
+        val starts = new Array[Int](n)
+        val lens = new Array[Int](n)
+        var off = 0
+        var i = 0
+        while (i < n) {
+          val len = lengths(i).toInt
+          starts(i) = big.length
+          Fsst.decompress(table, data, off, off + len, big)
+          lens(i) = big.length - starts(i)
+          off += len
+          i += 1
+        }
+        ByteSlices(big.unsafeArray, starts, lens)
+      case other => throw new IllegalArgumentException(s"not a string codec: $other")
+    }
+    (slices, present)
+  }
+
+  private def slicesOf(data: Array[Byte], lengths: Array[Long], n: Int): ByteSlices = {
+    val starts = new Array[Int](n)
+    val lens = new Array[Int](n)
+    var off = 0
+    var i = 0
+    while (i < n) {
+      val len = lengths(i).toInt
+      starts(i) = off
+      lens(i) = len
+      off += len
+      i += 1
+    }
+    ByteSlices(data, starts, lens)
+  }
+
   def decodeString(cs: ColumnStreams): (Array[String], Array[Boolean]) = {
     val present = readPresent(cs)
     val n = cs.rowCount - cs.nullCount

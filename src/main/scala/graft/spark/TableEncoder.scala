@@ -666,6 +666,7 @@ object TableEncoder {
   private final case class DoublesD(values: Array[Double], present: Array[Boolean]) extends Decoded
   private final case class FloatsD(values: Array[Float], present: Array[Boolean]) extends Decoded
   private final case class BinsD(values: Array[Array[Byte]], present: Array[Boolean]) extends Decoded
+  private final case class SlicesD(slices: ColumnCodec.ByteSlices, present: Array[Boolean]) extends Decoded
   private final case class DecsD(values: Array[org.apache.spark.sql.types.Decimal],
                                  precision: Int, scale: Int,
                                  present: Array[Boolean]) extends Decoded
@@ -695,8 +696,8 @@ object TableEncoder {
     case "bool"      => val (v, p) = ColumnCodec.decodeBool(cs); BoolsD(v, p)
     case "double"    => val (v, p) = ColumnCodec.decodeDouble(cs); DoublesD(v, p)
     case "float"     => val (v, p) = ColumnCodec.decodeFloat(cs); FloatsD(v, p)
-    case "binary"    => val (v, p) = ColumnCodec.decodeBinary(cs); BinsD(v, p)
-    case "string"    => val (v, p) = ColumnCodec.decodeStrBytes(cs); BinsD(v, p)
+    case "binary"    => val (v, p) = ColumnCodec.decodeBinarySlices(cs); SlicesD(v, p)
+    case "string"    => val (v, p) = ColumnCodec.decodeStrSlices(cs); SlicesD(v, p)
   }
 
   /** Decode one chunk's columns and emit UnsafeRows through a reused
@@ -767,6 +768,14 @@ object TableEncoder {
             case d: BinsD =>
               if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
               else writer.setNullAt(c)
+            case d: SlicesD =>
+              // slice straight from the decoded backing buffer — no
+              // per-value Array[Byte] between decode and the UnsafeRow
+              if (d.present(r)) {
+                val i = cursors(c)
+                writer.write(c, d.slices.buf, d.slices.starts(i), d.slices.lens(i))
+                cursors(c) += 1
+              } else writer.setNullAt(c)
             case d: DoublesD =>
               if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
               else writer.setNullAt(c)
