@@ -83,7 +83,7 @@ object SparkEntry {
     // would multiply zlib/dict/FSST fixed costs; round-1 finding)
     "rt_pruned" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
-      val clustered = li.repartitionByRange(2, col("l_orderkey"))
+      val clustered = li.repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")
       val codecs = EncodeJob.pinStringCodecs(li, 5000)
       val specs = TableEncoder.columnSpecs(li.schema, codecs)
@@ -215,6 +215,16 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       read(s, dir, "documents")
         .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .select("keep_id", "dup_count")
+        .orderBy("keep_id")),
+    // the 100 TB shape of exact dedup: group on a 128-bit digest of the
+    // normalized text, so the shuffle moves 16-byte keys instead of
+    // whole documents (md5 here because the oracle must compute the
+    // same key; the library's Dedup.exactByFingerprint uses xxhash64)
+    "q_dedup_fingerprint" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
         .select("keep_id", "dup_count")
         .orderBy("keep_id")),
@@ -398,6 +408,9 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_fingerprint" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_lang_counts" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
     "q_stream_window" ->

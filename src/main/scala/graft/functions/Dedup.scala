@@ -23,6 +23,20 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact dedup at the 100 TB shape: group on a 64-bit fingerprint of
+    * the text instead of the text itself, so the aggregation shuffle
+    * moves 8-byte keys + ids rather than whole documents; kept rows are
+    * then recovered with a semi-join on the id. xxhash64 collisions
+    * (~N²/2⁶⁵) trade a vanishing false-merge rate for that; use `exact`
+    * when byte-certainty matters more than shuffle volume.
+    */
+  def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.select(col(idCol), xxhash64(col(textCol)).as("__fp"))
+      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Word shingles of size k, lowercased, distinct. */
   def shingles(text: Column, k: Int = 3): Column = {
     val tokens = split(lower(trim(text)), "\\s+")

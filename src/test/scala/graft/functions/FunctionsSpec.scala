@@ -113,6 +113,14 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deduped.filter(col("doc_id") >= 5000).count() == 0, "kept the wrong copy")
   }
 
+  test("fingerprint dedup keeps the same rows as full-text exact dedup") {
+    val byText = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val byFp = Dedup.exactByFingerprint(docs, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(byFp == byText, s"fingerprint dedup diverged: ${byFp.size} vs ${byText.size} kept")
+  }
+
   test("simhash: near-identical texts get near-identical signatures") {
     val base = docs.select("doc_id", "text").limit(20)
     val twisted = base.select((col("doc_id") + 1000).as("doc_id"),
