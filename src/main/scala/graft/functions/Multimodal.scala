@@ -33,8 +33,55 @@ object Multimodal {
         (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
       else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
       else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "wav"
+      else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') "gif"
       else if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') "mp4"
       else "unknown"
+
+    private def le16(bytes: Array[Byte], o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    private def le32(bytes: Array[Byte], o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+
+    /** GIF logical screen descriptor: width/height as little-endian u16
+      * right after the 6-byte signature.
+      */
+    def gifDims(bytes: Array[Byte]): Option[(Int, Int)] =
+      if (bytes.length < 10) None else Some((le16(bytes, 6), le16(bytes, 8)))
+
+    /** WAV RIFF chunk walk — pure header arithmetic, no codec: the fmt
+      * chunk gives channels/sample-rate/bits-per-sample, the data chunk
+      * size gives the sample count. Mapping into MediaMeta: width =
+      * sample rate (Hz), height = channels, frames = samples per channel.
+      */
+    def wavMeta(bytes: Array[Byte]): Option[MediaMeta] = {
+      if (bytes.length < 44) return None
+      if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+      var channels = 0
+      var sampleRate = 0L
+      var bits = 0
+      var dataSize = -1L
+      var o = 12
+      while (o + 8 <= bytes.length) {
+        val size = le32(bytes, o + 4)
+        if (bytes(o) == 'f' && bytes(o + 1) == 'm' && bytes(o + 2) == 't' && bytes(o + 3) == ' ') {
+          if (o + 8 + 16 > bytes.length) return None
+          channels = le16(bytes, o + 10)
+          sampleRate = le32(bytes, o + 12)
+          bits = le16(bytes, o + 22)
+        } else if (bytes(o) == 'd' && bytes(o + 1) == 'a' && bytes(o + 2) == 't' && bytes(o + 3) == 'a') {
+          dataSize = size
+        }
+        o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        if (size <= 0) return None // corrupt header: avoid an infinite walk
+      }
+      if (channels <= 0 || bits <= 0 || dataSize < 0) None
+      else {
+        val samples = dataSize / math.max(1, channels * bits / 8)
+        Some(MediaMeta("wav", width = sampleRate.toInt, height = channels,
+          frames = math.min(samples, Int.MaxValue.toLong).toInt, bytes = bytes.length.toLong))
+      }
+    }
 
     /** PNG IHDR: 8-byte signature, 4-byte chunk length, "IHDR", then
       * width and height as big-endian u32 — a plain header read, no
@@ -72,26 +119,27 @@ object Multimodal {
 
     def meta(bytes: Array[Byte]): MediaMeta = {
       val format = sniffFormat(bytes)
-      // real header parse where the format allows it without a codec
-      val dims = format match {
-        case "png"  => pngDims(bytes)
-        case "jpeg" => jpegDims(bytes)
+      // real header parse where the format allows it without a codec:
+      // PNG, JPEG, GIF dimensions; WAV channels/rate/sample-count
+      val parsed = format match {
+        case "png"  => pngDims(bytes).map { case (w, h) => MediaMeta(format, w, h, 1, bytes.length.toLong) }
+        case "jpeg" => jpegDims(bytes).map { case (w, h) => MediaMeta(format, w, h, 1, bytes.length.toLong) }
+        case "gif"  => gifDims(bytes).map { case (w, h) => MediaMeta(format, w, h, 1, bytes.length.toLong) }
+        case "wav"  => wavMeta(bytes)
         case _      => None
       }
-      dims match {
-        case Some((w, h)) => MediaMeta(format, w, h, frames = 1, bytes = bytes.length.toLong)
-        case None =>
-          // STUB path (wav/mp4/unknown, or corrupt headers): deterministic
-          // fake so downstream stays testable without media libraries
-          var hash = 1469598103934665603L
-          var i = 0
-          val n = math.min(bytes.length, 256)
-          while (i < n) { hash ^= bytes(i); hash *= 1099511628211L; i += 1 }
-          MediaMeta(format,
-            width = 64 + (math.abs(hash) % 1024).toInt,
-            height = 64 + (math.abs(hash >> 10) % 1024).toInt,
-            frames = 1 + (math.abs(hash >> 20) % 64).toInt,
-            bytes = bytes.length.toLong)
+      parsed.getOrElse {
+        // STUB path (mp4/unknown, or corrupt headers): deterministic
+        // fake so downstream stays testable without media libraries
+        var hash = 1469598103934665603L
+        var i = 0
+        val n = math.min(bytes.length, 256)
+        while (i < n) { hash ^= bytes(i); hash *= 1099511628211L; i += 1 }
+        MediaMeta(format,
+          width = 64 + (math.abs(hash) % 1024).toInt,
+          height = 64 + (math.abs(hash >> 10) % 1024).toInt,
+          frames = 1 + (math.abs(hash >> 20) % 64).toInt,
+          bytes = bytes.length.toLong)
       }
     }
 

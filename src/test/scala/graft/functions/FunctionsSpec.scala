@@ -213,4 +213,26 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getString(1) == "png" && out(0).getInt(2) == 320 && out(0).getInt(3) == 200)
     assert(out(1).getString(1) == "jpeg" && out(1).getInt(2) == 64 && out(1).getInt(3) == 32)
   }
+
+  test("multimodal meta parses real GIF and WAV headers") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val gif = "GIF89a".getBytes("ASCII") ++ le16(800) ++ le16(600) ++ Array[Byte](0, 0, 0)
+    val mGif = Multimodal.FakeDecoder.meta(gif)
+    assert(mGif.format == "gif" && mGif.width == 800 && mGif.height == 600, s"$mGif")
+
+    // 2-channel 44.1 kHz 16-bit WAV with 1000 samples per channel
+    val dataBytes = 1000 * 2 * 2
+    val wav = "RIFF".getBytes("ASCII") ++ le32(36 + dataBytes) ++ "WAVE".getBytes("ASCII") ++
+      "fmt ".getBytes("ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes("ASCII") ++ le32(dataBytes) ++ new Array[Byte](dataBytes)
+    val mWav = Multimodal.FakeDecoder.meta(wav)
+    assert(mWav.format == "wav" && mWav.width == 44100 && mWav.height == 2 && mWav.frames == 1000,
+      s"$mWav")
+
+    // truncated/corrupt WAV falls back to the deterministic stub, never throws
+    val mBad = Multimodal.FakeDecoder.meta("RIFFxxxxWAVEbroken".getBytes("ASCII"))
+    assert(mBad.format == "wav" && mBad.width >= 64)
+  }
 }
