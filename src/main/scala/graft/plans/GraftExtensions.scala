@@ -34,7 +34,21 @@ object GraftExtensions {
     "lz4_block" -> { args: Seq[Expression] => Lz4BlockExpr(args.head) },
     "lz4_unblock" -> { args: Seq[Expression] => Lz4UnblockExpr(args.head) },
     "cosine_similarity" -> { args: Seq[Expression] => CosineSimilarity(args(0), args(1)) },
+    // minhash_signature(text, k, shingleSize) / hyperplane_bucket(vec, planes, table):
+    // int args must be foldable literals — the plane/width choices shape the
+    // expression tree itself
+    "minhash_signature" -> { args: Seq[Expression] =>
+      MinHashSignature(args(0), intLit(args, 1, "k"), intLit(args, 2, "shingleSize")) },
+    "hyperplane_bucket" -> { args: Seq[Expression] =>
+      HyperplaneBucket(args(0), intLit(args, 1, "planes"),
+        if (args.length > 2) intLit(args, 2, "table") else 0) },
   )
+
+  private def intLit(args: Seq[Expression], i: Int, name: String): Int = args(i) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"argument $name must be an integer literal, got $other")
+  }
 
   /** Imperative registration into an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -615,6 +615,21 @@ object TableEncoder {
                          column: String, lo: String, hi: String): DataFrame =
     decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), StringType)
 
+  /** Range-prune on a wide-decimal (precision 19-38) column's stats,
+    * whose min/max are recorded as plain decimal strings. Narrow
+    * decimals (≤18) store mantissa-space long stats — scale the bounds
+    * and use `decodePruned` for those.
+    */
+  def decodePrunedDecimal(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                          column: String,
+                          lo: java.math.BigDecimal, hi: java.math.BigDecimal): DataFrame = {
+    val spec = subsetSpecs(specs, Seq(column)).head
+    require(spec.logical == "decimal128",
+      s"$column is ${spec.logical}; decimal-string stats exist only for decimal128 columns")
+    val Array(p, s) = spec.narrow.split(',').map(_.toInt)
+    decodePrunedTyped(chunks, specs, spec.name, lit(lo), lit(hi), DecimalType(p, s))
+  }
+
   private def decodePrunedTyped(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
                                 column: String, lo: Column, hi: Column,
                                 statType: DataType,

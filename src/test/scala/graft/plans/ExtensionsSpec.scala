@@ -62,6 +62,18 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("minhash_signature and hyperplane_bucket are registered in SQL") {
+    val r = spark.sql(
+      """SELECT size(minhash_signature('the quick brown fox jumps over the lazy dog', 16, 3)) AS k,
+        |       minhash_signature('ab', 16, 3) IS NULL AS too_short,
+        |       hyperplane_bucket(array(cast(1.0 AS float), cast(-2.0 AS float)), 6) AS b
+        |""".stripMargin).first()
+    assert(r.getInt(0) == 16)
+    assert(r.getBoolean(1))
+    val b = r.getLong(2)
+    assert(b >= 0 && b < 64)
+  }
+
   test("cosine_similarity is registered in SQL and stays in codegen") {
     // range() scan (not a local relation, which evaluates at the driver)
     // so the expression provably runs inside WholeStageCodegen

@@ -98,6 +98,31 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("decodePrunedDecimal prunes on a decimal(38,x) column's string stats") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"),
+        // mantissa far beyond long range so the DECIMAL128 path is exercised
+        concat(col("l_orderkey").cast("string"), lit("00000000000000000001.5"))
+          .cast("decimal(38,4)").as("big"))
+    val clustered = li.repartitionByRange(4, col("big")).sortWithinPartitions("big")
+    val specs = TableEncoder.columnSpecs(clustered.schema, Map.empty)
+    assert(specs.find(_.name == "big").get.logical == "decimal128")
+    val chunks = TableEncoder.encode(TableEncoder.shred(clustered, specs), specs, strideRows = 500)
+      .persist()
+
+    val lo = new java.math.BigDecimal("50000000000000000000001.5")
+    val hi = new java.math.BigDecimal("70000000000000000000001.5")
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePrunedDecimal(chunks, specs, "big", lo, hi), specs)
+    val exact = decoded.filter(col("big").between(lit(lo), lit(hi)))
+    val expected = li.filter(col("big").between(lit(lo), lit(hi)))
+    assert(expected.count() > 0, "empty predicate range makes the test vacuous")
+    assert(exact.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(exact).count() == 0)
+    assert(decoded.count() < li.count(), "decimal-stat pruning removed nothing")
+    chunks.unpersist()
+  }
+
   test("pruning on a column with non-numeric stats keeps chunks (conservative), never drops them") {
     // string stats can't cast to long; the overlap predicate must
     // evaluate to KEEP, not null-drop — a silent-missing-rows bug class
