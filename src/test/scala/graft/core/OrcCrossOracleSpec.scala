@@ -131,6 +131,42 @@ class OrcCrossOracleSpec extends AnyFunSuite {
       "two" -> Array[Byte](5, 9))
   }
 
+  test("our decimal big-varints interoperate with Java ORC's BigInteger serialization") {
+    import java.math.BigInteger
+    val rng = new scala.util.Random(7)
+    val vals: Seq[BigInteger] =
+      Seq(
+        new BigInteger("99999999999999999999999999999999999999"), // 38 nines
+        new BigInteger("-99999999999999999999999999999999999999"),
+        BigInteger.ZERO, BigInteger.ONE, BigInteger.valueOf(-1L),
+        BigInteger.valueOf(Long.MaxValue), BigInteger.valueOf(Long.MinValue),
+        BigInteger.valueOf(Long.MaxValue).add(BigInteger.ONE),
+        BigInteger.valueOf(Long.MinValue).subtract(BigInteger.ONE)) ++
+        (0 until 500).map(i => new BigInteger(1 + rng.nextInt(127), rng.self)
+          .multiply(BigInteger.valueOf(if (i % 2 == 0) 1 else -1)))
+
+    // ours → Java: the mantissa DATA stream of DECIMAL128 must be exactly
+    // what orc-core's decimal reader consumes
+    val buf = new ByteBuf()
+    vals.foreach(v => BitOps.writeBigVarIntSigned(buf, v))
+    val in = new java.io.ByteArrayInputStream(buf.toArray)
+    vals.foreach { v =>
+      val got = org.apache.orc.impl.SerializationUtils.readBigInteger(in)
+      assert(got == v, s"java read $got, expected $v")
+    }
+    assert(in.read() == -1, "java reader left bytes behind")
+
+    // Java → ours
+    val bos = new java.io.ByteArrayOutputStream()
+    vals.foreach(v => org.apache.orc.impl.SerializationUtils.writeBigInteger(bos, v))
+    val bin = new BytesIn(bos.toByteArray)
+    vals.foreach { v =>
+      val got = BitOps.readBigVarIntSigned(bin)
+      assert(got == v, s"we read $got, expected $v")
+    }
+    assert(!bin.hasMore, "our reader left bytes behind")
+  }
+
   test("our ByteRLE interoperates with Java ORC in both directions") {
     byteShapes.foreach { case (name, values) =>
       val ours = { val b = new ByteBuf(); ByteRle.write(b, values); b.toArray }
