@@ -147,22 +147,38 @@ object Bench {
     val effSmall = eff(math.max(1, cpus / 4), math.max(1, cpus / 16))
 
     // -------- decode throughput (zero-shuffle colocated path) --------
-    val (decodeSec, decodeRows) = {
-      val s = session(cpus)
-      try {
-        val tmpOut = java.nio.file.Files.createTempDirectory("graft-bench-enc").toString
-        val pages = WebGen.pages(s, benchRows, seed = 42, partitions = cpus * 3).toDF()
-        val res = EncodeJob.run(pages, EncodeJob.Config(tmpOut, cpus, Some("lang")))
-        EncodeJob.readBackColocated(s, tmpOut, res.specs).count() // warm
-        var bestSec = Double.MaxValue
-        var n = 0L
-        (1 to 2).foreach { _ => // min of 2: one stormy sample cannot define decode
-          val t0 = System.nanoTime()
-          n = EncodeJob.readBackColocated(s, tmpOut, res.specs).count()
-          bestSec = math.min(bestSec, (System.nanoTime() - t0) / 1e9)
-        }
-        (bestSec, n)
-      } finally s.stop()
+    // measured at cpus AND cpus/4 on the same encoded output: the decode
+    // side of the north rule's two-cluster-size evidence
+    val (decodeSec, decodeSecQuarter, decodeSecSixteenth, decodeRows) = {
+      val tmpOut = java.nio.file.Files.createTempDirectory("graft-bench-enc").toString
+      def measure(lvl: Int, encodeFirst: Boolean): (Double, Long) = {
+        val s = session(lvl)
+        try {
+          if (encodeFirst) {
+            val pages = WebGen.pages(s, benchRows, seed = 42, partitions = cpus * 3).toDF()
+            EncodeJob.run(pages, EncodeJob.Config(tmpOut, cpus, Some("lang")))
+          }
+          val specs = EncodeJob.specsFromManifest(s, tmpOut,
+            WebGen.pages(s, 1, seed = 42, partitions = 1).toDF().schema)
+          EncodeJob.readBackColocated(s, tmpOut, specs).count() // warm
+          var bestSec = Double.MaxValue
+          var n = 0L
+          (1 to 2).foreach { _ => // min of 2: one stormy sample cannot define decode
+            val t0 = System.nanoTime()
+            n = EncodeJob.readBackColocated(s, tmpOut, specs).count()
+            bestSec = math.min(bestSec, (System.nanoTime() - t0) / 1e9)
+          }
+          (bestSec, n)
+        } finally s.stop()
+      }
+      val (sec32, n) = measure(cpus, encodeFirst = true)
+      val (sec8, _) = measure(math.max(1, cpus / 4), encodeFirst = false)
+      // within-capacity pair (cpus/16 → cpus/4, i.e. 2→8 at cpus=32):
+      // this VM saturates memory bandwidth well below 32 threads and
+      // decode hits it harder than encode (see BENCH.md), so the small
+      // pair is the honest cluster-scaling proxy, as for encode
+      val (sec2, _) = measure(math.max(1, cpus / 16), encodeFirst = false)
+      (sec32, sec8, sec2, n)
     }
 
     // -------- fast-mode compression (zstd) at local[cpus] --------
@@ -206,6 +222,10 @@ object Bench {
         f""""scaling_efficiency_${cpus / 8}%d_${cpus / 2}%d":$effFit%.3f,""" +
         f""""scaling_efficiency_${cpus / 16}%d_${cpus / 4}%d":$effSmall%.3f,""" +
         f""""decode_sec$cpus%d":$decodeSec%.2f,"decode_gbps$cpus%d":${rawBytes / 1e9 / math.max(0.001, decodeSec)}%.3f,"decode_rows":$decodeRows%d,""" +
+        f""""decode_sec${cpus / 4}%d":$decodeSecQuarter%.2f,"decode_gbps${cpus / 4}%d":${rawBytes / 1e9 / math.max(0.001, decodeSecQuarter)}%.3f,""" +
+        f""""decode_scaling_${cpus / 4}%d_$cpus%d":${(decodeSecQuarter / math.max(0.001, decodeSec)) / 4.0}%.3f,""" +
+        f""""decode_sec${cpus / 16}%d":$decodeSecSixteenth%.2f,"decode_gbps${cpus / 16}%d":${rawBytes / 1e9 / math.max(0.001, decodeSecSixteenth)}%.3f,""" +
+        f""""decode_scaling_${cpus / 16}%d_${cpus / 4}%d":${(decodeSecSixteenth / math.max(0.001, decodeSecQuarter)) / 4.0}%.3f,""" +
         f""""bytes_per_doc":${encodedBytes.toDouble / benchRows}%.1f,"compression_ratio":${encodedBytes.toDouble / rawBytes}%.4f,""" +
         f""""encode_gbps${cpus}%d_zstd":${rawBytes / 1e9 / zstdEncSec}%.3f,""" +
         f""""bytes_per_doc_zstd":${zstdEncodedBytes.toDouble / benchRows}%.1f,""" +
