@@ -38,13 +38,14 @@ object StreamingEncode {
     */
   def start(pages: DataFrame, outDir: String, checkpointDir: String,
             numPartitions: Int, keyColumn: Option[String] = Some("lang"),
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            compression: String = graft.core.BlockCompression.Zlib): StreamingQuery = {
     require(pages.isStreaming, "StreamingEncode.start needs a streaming DataFrame")
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        encodeBatch(batch, batchId, outDir, numPartitions, keyColumn)
+        encodeBatch(batch, batchId, outDir, numPartitions, keyColumn, compression)
       }
       .start()
   }
@@ -53,7 +54,8 @@ object StreamingEncode {
     * batch_id. Public so tests (and backfills) can drive it directly.
     */
   def encodeBatch(batch: DataFrame, batchId: Long, outDir: String,
-                  numPartitions: Int, keyColumn: Option[String]): Unit = {
+                  numPartitions: Int, keyColumn: Option[String],
+                  compression: String = graft.core.BlockCompression.Zlib): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val manifestPath = new org.apache.hadoop.fs.Path(EncodeJob.manifestDir(outDir))
@@ -67,7 +69,7 @@ object StreamingEncode {
 
     // pin codecs once per stream: batch 0 samples, later batches reuse
     // the lineage recorded in the manifest
-    val cfg = EncodeJob.Config(outDir, numPartitions, keyColumn)
+    val cfg = EncodeJob.Config(outDir, numPartitions, keyColumn, compression = compression)
     EncodeJob.runBatch(batch, cfg, batchId.toInt, existing)
   }
 

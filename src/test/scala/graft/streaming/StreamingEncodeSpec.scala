@@ -63,6 +63,24 @@ class StreamingEncodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == expected)
   }
 
+  test("streaming encode with the zstd fast mode: kind recorded, decode exact") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val out = Files.createTempDirectory("stream-zstd").toString
+    val df = spark.createDataset((0 until 120).map(i => page(i, s"zstd doc $i body " * 4))).toDF()
+
+    StreamingEncode.encodeBatch(df, batchId = 0, out, numPartitions = 2, keyColumn = Some("lang"),
+      compression = graft.core.BlockCompression.Zstd)
+    val kinds = spark.read.parquet(EncodeJob.chunkDir(out))
+      .select("compression").distinct().collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("zstd"), s"kinds: $kinds")
+
+    val specs = EncodeJob.specsFromManifest(spark, out, df.schema)
+    val decoded = EncodeJob.readBack(spark, out, specs)
+    assert(decoded.count() == 120)
+    assert(decoded.exceptAll(df).count() == 0)
+  }
+
   test("a replayed micro-batch is idempotent (manifest makes the sink exactly-once)") {
     val stableSpark = spark
     import stableSpark.implicits._
