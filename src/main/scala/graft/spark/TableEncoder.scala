@@ -232,16 +232,41 @@ object TableEncoder {
     override def clear(): Unit = { super.clear(); values.clear(); trues = 0L }
   }
 
+  /** Order-preserving map double → long (Lucene's sortableLong): stride
+    * min/max for double columns ride the same long-typed row-index fields
+    * as integer columns, with predicate bounds mapped the same way.
+    * NaN excluded by callers.
+    */
+  def doubleSortableBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
   /** Min/max like DoubleWriterStatistics.cs — NaN values are excluded
     * from the range (a NaN min/max would poison every pruning compare).
+    * Per-stride min/max recorded in sortable-bits space for the sub-chunk
+    * row index.
     */
-  private final class DoubleColBuf extends ColBuf {
+  private final class DoubleColBuf(indexStride: Int) extends ColBuf {
     private val values = new graft.core.DoubleBuf(1024)
     private var mn = Double.PositiveInfinity
     private var mx = Double.NegativeInfinity
     private var sawFinite = false
+    private val sMins = new ArrayBuffer[Long]()
+    private val sMaxs = new ArrayBuffer[Long]()
+    private var strideMn = Long.MaxValue
+    private var strideMx = Long.MinValue
+    private var rowsInStride = 0
+    private def closeStride(): Unit = {
+      // empty or all-NaN stride → always-keep sentinel range
+      if (strideMn == Long.MaxValue && strideMx == Long.MinValue) {
+        sMins += Long.MinValue; sMaxs += Long.MaxValue
+      } else { sMins += strideMn; sMaxs += strideMx }
+      strideMn = Long.MaxValue; strideMx = Long.MinValue; rowsInStride = 0
+    }
     def add(row: Row, i: Int): Unit = {
       rows += 1
+      rowsInStride += 1
       if (row.isNullAt(i)) present.add(false)
       else {
         present.add(true)
@@ -250,10 +275,22 @@ object TableEncoder {
           sawFinite = true
           if (v < mn) mn = v
           if (v > mx) mx = v
+          val s = doubleSortableBits(v)
+          if (s < strideMn) strideMn = s
+          if (s > strideMx) strideMx = s
         }
         values.add(v)
         rawBytes += 8
       }
+      if (rowsInStride == indexStride) closeStride()
+    }
+    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = {
+      if (rows == 0) return (None, None)
+      val mins = sMins.toVector ++ (if (rowsInStride > 0)
+        Vector(if (strideMn == Long.MaxValue) Long.MinValue else strideMn) else Vector.empty)
+      val maxs = sMaxs.toVector ++ (if (rowsInStride > 0)
+        Vector(if (strideMx == Long.MinValue) Long.MaxValue else strideMx) else Vector.empty)
+      (Some(mins), Some(maxs))
     }
     def encode(aligned: Boolean): ColumnStreams = ColumnCodec.encodeDouble(values.toArray, present.toArray)
     def minMax: (Option[String], Option[String]) =
@@ -261,6 +298,8 @@ object TableEncoder {
     override def clear(): Unit = {
       super.clear(); values.clear()
       mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sawFinite = false
+      sMins.clear(); sMaxs.clear()
+      strideMn = Long.MaxValue; strideMx = Long.MinValue; rowsInStride = 0
     }
   }
 
@@ -396,7 +435,7 @@ object TableEncoder {
     case "decimal128"       => new Decimal128ColBuf(spec.narrow.split(',')(1).toInt)
     case "date"             => new LongColBuf("date", indexStride)
     case "bool"             => new BoolColBuf
-    case "double"           => new DoubleColBuf
+    case "double"           => new DoubleColBuf(indexStride)
     case "float"            => new FloatColBuf
     case "binary"           => new BinaryColBuf
     case "string"           => new StringColBuf(spec.stringCodec)
@@ -605,10 +644,16 @@ object TableEncoder {
     decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), LongType,
       stridePrune = Some((column, lo, hi)))
 
-  /** Range-prune on a double/float column's stats. */
+  /** Range-prune on a double/float column's stats. Double columns also
+    * carry a per-stride row index in sortable-bits space, so sub-chunk
+    * skipping applies just like integer columns.
+    */
   def decodePrunedDouble(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
-                         column: String, lo: Double, hi: Double): DataFrame =
-    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), DoubleType)
+                         column: String, lo: Double, hi: Double): DataFrame = {
+    val stridePrune = specs.find(s => s.name == column && s.logical == "double")
+      .map(_ => (column, doubleSortableBits(lo), doubleSortableBits(hi)))
+    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), DoubleType, stridePrune)
+  }
 
   /** Range-prune on a string column's stats (lexicographic bounds). */
   def decodePrunedString(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],

@@ -98,6 +98,37 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("double stride index skips sub-chunk, incl. negative values (sortable-bits order)") {
+    // sortable-bits must be order-preserving across the sign boundary
+    val rng = new scala.util.Random(11)
+    val ds = Array.fill(2000)(rng.nextDouble() * 2e6 - 1e6).sorted
+    ds.sliding(2).foreach { case Array(a, b) =>
+      assert(TableEncoder.doubleSortableBits(a) <= TableEncoder.doubleSortableBits(b), s"$a vs $b")
+    }
+
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val df = (0 until 20000).map(i => (i.toLong, i.toDouble - 10000.0)).toDF("id", "v")
+      .repartitionByRange(2, col("v")).sortWithinPartitions("v")
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    // one chunk per partition, fine stride: skipping must act BELOW chunks
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      indexStrideRows = 500).persist()
+
+    val lo = -1000.0; val hi = 1000.0
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePrunedDouble(chunks, specs, "v", lo, hi), specs).persist()
+    val exact = decoded.filter(col("v").between(lo, hi))
+    assert(exact.count() == 2001)
+    val keptChunkRows = chunks.filter(col("column") === "v" &&
+        !(col("max_val").cast("double") < lo || col("min_val").cast("double") > hi))
+      .agg(sum(col("row_count"))).first().getLong(0)
+    val emitted = decoded.count()
+    assert(emitted < keptChunkRows,
+      s"no sub-chunk skipping on double: emitted $emitted == kept-chunk rows $keptChunkRows")
+    decoded.unpersist(); chunks.unpersist()
+  }
+
   test("decodePrunedDecimal prunes on a decimal(38,x) column's string stats") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey"),
