@@ -170,6 +170,11 @@ class OrcFileAssemblySpec extends AnyFunSuite {
     val tsVals = Array.tabulate(n)(i => tsBase + i.toLong * 123456789L % (400L * 86400 * 1000000L) + i % 1000)
     val dateVals = Array.tabulate(n)(i => (10000 + i % 5000).toLong)
     val decVals = Array.tabulate(n)(i => rng.nextLong() % 1000000000000L)
+    // >64-bit unscaled mantissas for the DECIMAL128 big-varint path
+    val bigBase = new java.math.BigInteger("12345678901234567890123456789012")
+    val bigVals = Array.tabulate(n)(i =>
+      bigBase.add(java.math.BigInteger.valueOf(i.toLong * 7919L))
+        .multiply(java.math.BigInteger.valueOf(if (i % 2 == 0) 1L else -1L)))
 
     val all = present(n)(_ => false)
     val cols = Seq(
@@ -195,6 +200,9 @@ class OrcFileAssemblySpec extends AnyFunSuite {
         OrcProto.ColumnEncoding.Kind.DIRECT_V2),
       OrcCol("amount", "decimal(18,6)",
         ColumnCodec.encodeDecimal18(decVals, Array.fill(n)(6L), all),
+        OrcProto.ColumnEncoding.Kind.DIRECT_V2),
+      OrcCol("big", "decimal(38,4)",
+        ColumnCodec.encodeDecimal128(bigVals, Array.fill(n)(4L), all),
         OrcProto.ColumnEncoding.Kind.DIRECT_V2))
 
     val file = java.io.File.createTempFile("graft-assembly", ".orc")
@@ -221,6 +229,7 @@ class OrcFileAssemblySpec extends AnyFunSuite {
       val ts = batch.cols(8).asInstanceOf[TimestampColumnVector]
       val day = batch.cols(9).asInstanceOf[LongColumnVector]
       val amount = batch.cols(10).asInstanceOf[DecimalColumnVector]
+      val big = batch.cols(11).asInstanceOf[DecimalColumnVector]
       var i = 0
       while (i < batch.size) {
         if (idPresent(r)) {
@@ -244,6 +253,8 @@ class OrcFileAssemblySpec extends AnyFunSuite {
         // HiveDecimal strips trailing zeros; compare at pinned scale 6
         val dec = amount.vector(i).getHiveDecimal.bigDecimalValue().setScale(6)
         assert(dec.unscaledValue().longValueExact() == decVals(r), s"row $r amount")
+        val bg = big.vector(i).getHiveDecimal.bigDecimalValue().setScale(4)
+        assert(bg.unscaledValue() == bigVals(r), s"row $r big: ${bg.unscaledValue()} != ${bigVals(r)}")
         i += 1
         r += 1
       }
