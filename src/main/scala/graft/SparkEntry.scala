@@ -20,7 +20,9 @@ object SparkEntry {
   private def roundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
     val codecs = EncodeJob.pinStringCodecs(df, sampleRows = 5000)
     val specs = TableEncoder.columnSpecs(df.schema, codecs)
-    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs)
+    // segmented = the production layout (per-stride independently-
+    // compressed segments); its decode correctness rides this gate
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs, segmented = true)
     TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
   }
 
@@ -87,8 +89,10 @@ object SparkEntry {
         .sortWithinPartitions("l_orderkey")
       val codecs = EncodeJob.pinStringCodecs(li, 5000)
       val specs = TableEncoder.columnSpecs(li.schema, codecs)
+      // segmented: pruned strides skip decompression + value decode, not
+      // just row materialization
       val chunks = TableEncoder.encode(TableEncoder.shred(clustered, specs), specs,
-        indexStrideRows = 2000)
+        indexStrideRows = 2000, segmented = true)
       TableEncoder.unshred(
           TableEncoder.decodePruned(chunks, specs, "l_orderkey", 1000L, 2000L), specs)
         .filter(col("l_orderkey").between(1000, 2000))
@@ -232,10 +236,16 @@ object SparkEntry {
       read(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")),
 
-    // ---- training-data pipeline ops (rows-only: not SQL-expressible) ----
+    // document fingerprint + quality score, oracle-checked: the
+    // fingerprint is md5 over the same whitespace normalization as
+    // TextOps.fingerprintCol so DuckDB computes the identical key (the
+    // library default stays xxhash64 — FunctionsSpec covers it — because
+    // DuckDB has no xxhash64 to oracle against); quality is the codegen'd
+    // TextOps.qualityScore, reproduced in RE2-class SQL on the oracle side
     "q_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents")
-        .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fingerprint"),
+        .select(col("doc_id"),
+          md5(regexp_replace(trim(col("text")), "\\s+", " ").cast("binary")).as("fingerprint"),
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
     "q_langid" -> ((s, dir) => {
@@ -413,6 +423,38 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_lang_counts" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    "q_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint,
+        |  least(length(text) / 500.0, 1.0) AS len_score,
+        |  CASE WHEN toks = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / toks END AS word_len,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+        |  CASE WHEN length(regexp_replace(text, '[^\p{L}]', '', 'g')) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^\p{Lu}]', '', 'g')) AS DOUBLE)
+        |            / length(regexp_replace(text, '[^\p{L}]', '', 'g')) END AS upper_ratio
+        | FROM t)
+        |SELECT doc_id, fingerprint,
+        |  round(len_score * 0.4
+        |    + (CASE WHEN word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+        |    + (1.0 - least(upper_ratio * 2.0, 1.0)) * 0.1, 4) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings ORDER BY vec_id LIMIT 5),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS cos
+        |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |      FROM s)
+        |SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         | count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS VARCHAR) AS total

@@ -63,7 +63,22 @@ object BlockCompression {
     case other => throw new IllegalArgumentException(s"unknown compression kind: $other")
   }
 
-  def decompress(kind: String, data: Array[Byte]): Array[Byte] = kind match {
+  /** Observability: compressed bytes fed through decompress() since the
+    * last reset, JVM-wide (local-mode tests read it to prove stride
+    * pruning skips decompression work, not just row materialization).
+    * One atomic add per stream blob/segment — negligible next to the
+    * codec work itself.
+    */
+  private val decompressedIn = new java.util.concurrent.atomic.AtomicLong()
+  def decompressInputBytes: Long = decompressedIn.get()
+  def resetCounters(): Unit = decompressedIn.set(0L)
+
+  def decompress(kind: String, data: Array[Byte]): Array[Byte] = {
+    decompressedIn.addAndGet(data.length.toLong)
+    decompressImpl(kind, data)
+  }
+
+  private def decompressImpl(kind: String, data: Array[Byte]): Array[Byte] = kind match {
     case Zlib  => ZlibBlock.decompress(data)
     case None_ => data
     case Zstd =>

@@ -77,10 +77,14 @@ object Dedup {
 
   private def dropHotBuckets(banded: DataFrame, bucketCols: Seq[String],
                              maxBucketSize: Int): DataFrame = {
-    val sizes = banded.groupBy(bucketCols.map(col): _*).count()
-      .filter(col("count") <= maxBucketSize)
+    // Broadcast the HOT side: buckets over the cap are a handful of
+    // degenerate clusters even at 10^12 docs, while the cool side is
+    // corpus-scale (≈ one row per distinct bucket) — broadcasting the
+    // cool side would OOM the driver at 100 TB.
+    val hot = banded.groupBy(bucketCols.map(col): _*).count()
+      .filter(col("count") > maxBucketSize)
       .select(bucketCols.map(col): _*)
-    banded.join(broadcast(sizes), bucketCols, "left_semi")
+    banded.join(broadcast(hot), bucketCols, "left_anti")
   }
 
   /** LSH banding: candidate pairs from rows sharing any (band, bandHash)
@@ -117,12 +121,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cool = dropHotBuckets(banded, Seq("band", "bucket"), maxBucketSize)
 
+    // localCheckpoint(eager) materializes the (small) candidate-pair set
+    // so the banded cache can be released here instead of leaking for the
+    // session's lifetime; the verification joins below read only the
+    // checkpointed pairs plus the raw texts.
     val candidates = cool.alias("a")
       .join(cool.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+      .localCheckpoint(true)
+    banded.unpersist()
 
     // verify with exact Jaccard, shingling only candidate rows: join the
     // raw text to the candidate ids FIRST, then shingle the joined pairs
@@ -165,24 +175,43 @@ object Dedup {
       .otherwise(size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)))
   }
 
-  /** Embedding cosine near-duplicate pairs via LSH bucketing (random
-    * hyperplane signs over broadcast seed hashes) + exact verification.
-    * See Similarity for the generic top-k path.
+  /** Embedding cosine near-duplicate pairs via multi-table random-
+    * hyperplane LSH + exact cosine verification. Like lshTopK
+    * (OR-construction over `tables` independent plane sets, combined
+    * bucket id = (table << 32) | sign bits): a pair is a candidate if ANY
+    * table buckets the two vectors together, so recall at tight
+    * thresholds no longer hangs on a single bucketing's boundary luck.
+    * Candidate pairs are generated from an id+bucket table (vectors are
+    * NOT carried through the ×tables explode or the self-join — they are
+    * joined back onto the deduped pair set for verification), hot buckets
+    * capped per table, pairs deduped across tables before scoring.
     */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                               planes: Int = 12, threshold: Double = 0.95,
-                              maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val bucketed = df.withColumn("__bucket", Similarity.hyperplaneBucket(col(vecCol), planes))
+                              maxBucketSize: Int = DefaultMaxBucketSize,
+                              tables: Int = 4): DataFrame = {
+    require(tables >= 1 && tables <= 16, s"tables in 1..16, got $tables")
+    val tableBuckets = (0 until tables).map(t =>
+      lit(t.toLong << 32).bitwiseOR(Similarity.hyperplaneBucket(col(vecCol), planes, t)))
+    val bucketed = df.select(col(idCol),
+        explode(array(tableBuckets: _*)).as("__bucket"))
       // read three times (bucket count + both join sides); the hyperplane
-      // projection is interpreted HOF work worth computing once
+      // projections are worth computing once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cool = dropHotBuckets(bucketed, Seq("__bucket"), maxBucketSize)
-    val pairs = cool.alias("a")
+    val candidates = cool.alias("a")
       .join(cool.alias("b"),
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cosine"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    bucketed.unpersist()
+    val vecs = df.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
-    pairs
   }
 }

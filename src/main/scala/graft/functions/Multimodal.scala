@@ -63,7 +63,7 @@ object Multimodal {
       var dataSize = -1L
       var o = 12
       while (o + 8 <= bytes.length) {
-        val size = le32(bytes, o + 4)
+        val size = le32(bytes, o + 4) // unsigned u32 — keep in Long space
         if (bytes(o) == 'f' && bytes(o + 1) == 'm' && bytes(o + 2) == 't' && bytes(o + 3) == ' ') {
           if (o + 8 + 16 > bytes.length) return None
           channels = le16(bytes, o + 10)
@@ -72,8 +72,11 @@ object Multimodal {
         } else if (bytes(o) == 'd' && bytes(o + 1) == 'a' && bytes(o + 2) == 't' && bytes(o + 3) == 'a') {
           dataSize = size
         }
-        o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-        if (size <= 0) return None // corrupt header: avoid an infinite walk
+        // next offset computed in Long space: a u32 size ≥ 2^31 must not
+        // truncate negative (zero-size chunks are legal and word-aligned)
+        val next = o.toLong + 8 + size + (size & 1)
+        if (next <= o || next > Int.MaxValue) return None // corrupt/overflowing header
+        o = next.toInt
       }
       if (channels <= 0 || bits <= 0 || dataSize < 0) None
       else {
@@ -117,19 +120,86 @@ object Multimodal {
       None
     }
 
+    /** MP4/ISO-BMFF box walk — pure header arithmetic like the WAV path,
+      * no codec: boxes are (u32 size | 1 → u64 largesize)(4cc type).
+      * tkhd carries the video track's width/height as 16.16 fixed point;
+      * stsz's sample_count is the track's frame count. The video track is
+      * the trak whose tkhd width is nonzero (audio tracks encode 0×0).
+      */
+    def mp4Meta(bytes: Array[Byte]): Option[MediaMeta] = {
+      def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      def be32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+      def boxType(o: Int): String = new String(bytes, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // walk children of [start, end), calling f(type, payloadStart, payloadEnd)
+      def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Boolean = {
+        var o = start
+        while (o + 8 <= end) {
+          val size32 = be32(o.toInt)
+          val (size, hdr) =
+            if (size32 == 1L) { if (o + 16 > end) return false; (be64(o.toInt + 8), 16L) }
+            else if (size32 == 0L) (end - o, 8L) // box extends to end of enclosure
+            else (size32, 8L)
+          if (size < hdr || o + size > end) return false
+          f(boxType(o.toInt), o + hdr, o + size)
+          o += size
+        }
+        true
+      }
+      var w = 0; var h = 0; var frames = 0; var anyFrames = 0
+      var sawMoov = false
+      val ok = walk(0L, bytes.length.toLong) { (t, s, e) =>
+        if (t == "moov") {
+          sawMoov = true
+          walk(s, e) { (t2, s2, e2) =>
+            if (t2 == "trak") {
+              var tw = 0; var th = 0; var tFrames = 0
+              walk(s2, e2) { (t3, s3, e3) =>
+                if (t3 == "tkhd" && e3 - s3 >= 84) {
+                  val v = bytes(s3.toInt) & 0xff
+                  val wOff = if (v == 1) 88 else 76 // fixed tkhd layouts per version
+                  if (e3 - s3 >= wOff + 8) {
+                    tw = be16((s3 + wOff).toInt) // 16.16 fixed → integer part
+                    th = be16((s3 + wOff + 4).toInt)
+                  }
+                } else if (t3 == "mdia") {
+                  walk(s3, e3) { (t4, s4, e4) =>
+                    if (t4 == "minf") walk(s4, e4) { (t5, s5, e5) =>
+                      if (t5 == "stbl") walk(s5, e5) { (t6, s6, e6) =>
+                        if (t6 == "stsz" && e6 - s6 >= 12)
+                          tFrames = math.min(be32(s6.toInt + 8), Int.MaxValue.toLong).toInt
+                      }
+                    }
+                  }
+                }
+              }
+              anyFrames = math.max(anyFrames, tFrames)
+              if (tw > 0) { w = tw; h = th; frames = tFrames } // the video track
+            }
+          }
+        }
+      }
+      if (!ok || !sawMoov) None
+      else Some(MediaMeta("mp4", w, h,
+        math.max(if (frames > 0) frames else anyFrames, 1), bytes.length.toLong))
+    }
+
     def meta(bytes: Array[Byte]): MediaMeta = {
       val format = sniffFormat(bytes)
       // real header parse where the format allows it without a codec:
-      // PNG, JPEG, GIF dimensions; WAV channels/rate/sample-count
+      // PNG, JPEG, GIF dimensions; WAV channels/rate/sample-count;
+      // MP4 moov/trak/tkhd/stsz box walk
       val parsed = format match {
         case "png"  => pngDims(bytes).map { case (w, h) => MediaMeta(format, w, h, 1, bytes.length.toLong) }
         case "jpeg" => jpegDims(bytes).map { case (w, h) => MediaMeta(format, w, h, 1, bytes.length.toLong) }
         case "gif"  => gifDims(bytes).map { case (w, h) => MediaMeta(format, w, h, 1, bytes.length.toLong) }
         case "wav"  => wavMeta(bytes)
+        case "mp4"  => mp4Meta(bytes)
         case _      => None
       }
       parsed.getOrElse {
-        // STUB path (mp4/unknown, or corrupt headers): deterministic
+        // STUB path (unknown formats or corrupt headers): deterministic
         // fake so downstream stays testable without media libraries
         var hash = 1469598103934665603L
         var i = 0

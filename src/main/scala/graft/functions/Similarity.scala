@@ -54,7 +54,8 @@ object Similarity {
   private def explodeTopK(grouped: DataFrame, idCol: String): DataFrame =
     grouped.select(col("query_id"), posexplode(col("__top")))
       .select(col("query_id"), col("col.id").as(idCol),
-        round(col("col.score"), 6).as("cosine"), (col("pos") + 1).as("rank"))
+        round(col("col.score"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank")) // long like SQL row_number()
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows. Queries are broadcast (must be small); the corpus is scanned

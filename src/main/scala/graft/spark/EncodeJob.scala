@@ -59,7 +59,19 @@ object EncodeJob {
       // stream-blob compression kind (graft.core.BlockCompression): zlib
       // (reference-parity default), zstd (~4-6× the per-core compress
       // throughput at equal-or-better ratio), lz4, none
-      compression: String = graft.core.BlockCompression.Zlib)
+      compression: String = graft.core.BlockCompression.Zlib,
+      // stride-segmented stream blobs (TableEncoder.encode segmented=true):
+      // per-stride independently-compressed segments so pruned strides are
+      // never decompressed or value-decoded on read. The production
+      // default; off reproduces the whole-stream (reference-shaped) blobs.
+      segmented: Boolean = true,
+      // Hive-partition the chunk table by `column` so a column-subset read
+      // prunes unrequested columns' files at the SCAN (IO ∝ requested
+      // columns). Trade-off: the one-file-per-task layout invariant the
+      // zero-shuffle full read needs no longer holds, so full-table reads
+      // take the shuffled decode path — pick per table by read pattern
+      // (wide tables read by narrow projections want this on).
+      partitionByColumn: Boolean = false)
 
   /** Below this many sampled rows the frequency estimate is noise —
     * rescan the (narrow) key column exactly instead.
@@ -93,12 +105,22 @@ object EncodeJob {
     else spark.read.parquet(manifestDir(outDir)).select("batch_id").distinct().as[Int].collect().toSet
   }
 
-  /** Pin per-string-column codec decisions from a bounded sample. */
+  /** Pin per-string-column codec decisions from a bounded UNIFORM sample.
+    *
+    * `takeSample` (seeded) draws `sampleRows` rows uniformly from the
+    * whole input, not `limit(n)`'s head read: input clustered by the very
+    * key the job salts on (web crawls arrive lang-ordered) would pin a
+    * codec fit to the head's one language under a head read. The cost is
+    * one narrow pass over just the string columns (projection reaches the
+    * source scan) — paid once per job, against codec decisions that bind
+    * for the entire output.
+    */
   def pinStringCodecs(df: DataFrame, sampleRows: Int): Map[String, String] = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     if (stringCols.isEmpty) return Map.empty
     // narrow scan over just the string columns; pruning reaches the source
-    val sample = df.select(stringCols.map(col).toIndexedSeq: _*).limit(sampleRows).collect()
+    val narrow = df.select(stringCols.map(col).toIndexedSeq: _*)
+    val sample = narrow.rdd.takeSample(withReplacement = false, sampleRows, seed = 42)
     stringCols.zipWithIndex.map { case (name, i) =>
       val values = sample.iterator.filterNot(_.isNullAt(i)).map(_.getString(i)).toSeq
       name -> CodecSelector.chooseStringCodec(CodecSelector.stringStats(values))
@@ -176,10 +198,10 @@ object EncodeJob {
     val t0 = System.nanoTime()
     val chunks = TableEncoder.encode(shredded, specs, cfg.strideRows,
       cfg.chunkTargetBytes, partIdOffset = offset, aligned = cfg.alignedEncoding,
-      compression = cfg.compression)
+      compression = cfg.compression, segmented = cfg.segmented)
     // Overwrite into the batch-scoped dir: a replay of a half-written
     // batch replaces the orphan files instead of appending duplicates
-    chunks.write.mode(SaveMode.Overwrite).parquet(chunkBatchDir(cfg.outDir, batchId))
+    writeChunks(chunks, cfg, batchId)
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
     val summary = spark.read.parquet(chunkBatchDir(cfg.outDir, batchId))
@@ -241,11 +263,12 @@ object EncodeJob {
           if (cfg.commitBatches == 1) shredded
           else shredded.filter(pmod(spark_partition_id(), lit(cfg.commitBatches)) === b)
         val chunks = TableEncoder.encode(batchDf, specs, cfg.strideRows, cfg.chunkTargetBytes,
-          aligned = cfg.alignedEncoding, compression = cfg.compression)
+          aligned = cfg.alignedEncoding, compression = cfg.compression,
+          segmented = cfg.segmented)
         // Overwrite into the batch dir — replays of an uncommitted batch
         // replace its orphan files; the manifest append below is the
         // commit point
-        chunks.write.mode(SaveMode.Overwrite).parquet(chunkBatchDir(cfg.outDir, b))
+        writeChunks(chunks, cfg, b)
         val wallMs = (System.nanoTime() - t0) / 1000000L
 
         // manifest rows from metadata columns only — parquet pruning keeps
@@ -283,6 +306,26 @@ object EncodeJob {
     TableEncoder.columnSpecs(schema, codecs)
   }
 
+  private def writeChunks(chunks: Dataset[EncodedChunk], cfg: Config, batchId: Int): Unit = {
+    val w = chunks.write.mode(SaveMode.Overwrite)
+    (if (cfg.partitionByColumn) w.partitionBy("column") else w)
+      .parquet(chunkBatchDir(cfg.outDir, batchId))
+  }
+
+  /** Schema back-compat for chunk parquet written by older engine
+    * versions: columns added since (compression, seg_lens,
+    * stride_null_counts, ...) are filled with nulls before binding to
+    * EncodedChunk, so the case-class defaults' getOrElse fallbacks are
+    * actually reachable instead of the read failing on a missing column.
+    */
+  private[spark] def withChunkSchema(df: DataFrame): DataFrame = {
+    val target = org.apache.spark.sql.Encoders.product[EncodedChunk].schema
+    target.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+  }
+
   /** Chunk rows of committed batches only. The `batch` partition-column
     * filter prunes whole orphan directories at the scan — uncommitted or
     * half-written batches are invisible to every reader.
@@ -290,8 +333,9 @@ object EncodeJob {
   private def committedChunks(spark: SparkSession, outDir: String): Dataset[EncodedChunk] = {
     import spark.implicits._
     val committed = committedBatches(spark, outDir)
-    spark.read.parquet(chunkDir(outDir))
-      .filter(col("batch").isInCollection(committed.toSeq.map(Integer.valueOf)))
+    withChunkSchema(
+      spark.read.parquet(chunkDir(outDir))
+        .filter(col("batch").isInCollection(committed.toSeq.map(Integer.valueOf))))
       .as[EncodedChunk]
   }
 

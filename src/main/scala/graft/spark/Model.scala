@@ -28,8 +28,22 @@ final case class EncodedChunk(
     stride_mins: Option[Seq[Long]] = None,
     stride_maxs: Option[Seq[Long]] = None,
     // Stream-blob compression kind (BlockCompression); None = zlib, the
-    // wire default before the kind was recorded.
-    compression: Option[String] = None)
+    // wire default before the kind was recorded. Older chunk parquet may
+    // lack this (and the seg_* fields) entirely — EncodeJob reads chunks
+    // through `withChunkSchema`, which adds missing columns as nulls
+    // before binding to this case class, so the getOrElse(Zlib) defaults
+    // are the real back-compat path.
+    compression: Option[String] = None,
+    // Per-stream stride segmentation (the reference's RowIndex stream
+    // positions, ColumnWriterStatistics.cs:10-33 + OrcCompressedBuffer
+    // .cs:66-72, exploited for real): when set, each stream blob is the
+    // concatenation of per-stride INDEPENDENTLY-compressed segments and
+    // seg_lens[kind] lists the compressed segment byte lengths, one per
+    // stride — so a pruned stride's segments are never decompressed or
+    // value-decoded, not just never row-materialized. stride_null_counts
+    // makes each stride's segment set self-contained to decode.
+    seg_lens: Option[Map[String, Seq[Int]]] = None,
+    stride_null_counts: Option[Seq[Int]] = None)
 
 /** Per-partition lineage + metrics row, the manifest/commit-log analogue
   * of the reference's Footer/Metadata tail (OrcWriter.cs:57-98). A

@@ -118,6 +118,43 @@ object TableEncoder {
 
   // ---------- per-column accumulation buffers ----------
 
+  /** Per-stride min/max tracking in a long-valued order space (raw longs,
+    * double/float sortable bits, string prefix longs). Call addValue for
+    * each non-null value BEFORE addRow for its row; strides with no
+    * non-null values record the always-keep sentinel (MinValue, MaxValue).
+    */
+  private final class StrideTracker(indexStride: Int) {
+    private val sMins = new ArrayBuffer[Long]()
+    private val sMaxs = new ArrayBuffer[Long]()
+    private var mn = Long.MaxValue
+    private var mx = Long.MinValue
+    private var rowsIn = 0
+    def addValue(lo: Long, hi: Long): Unit = {
+      if (lo < mn) mn = lo
+      if (hi > mx) mx = hi
+    }
+    def addRow(): Unit = { rowsIn += 1; if (rowsIn == indexStride) close() }
+    private def close(): Unit = {
+      if (mn == Long.MaxValue && mx == Long.MinValue) {
+        sMins += Long.MinValue; sMaxs += Long.MaxValue
+      } else { sMins += mn; sMaxs += mx }
+      mn = Long.MaxValue; mx = Long.MinValue; rowsIn = 0
+    }
+    /** Snapshot without mutating (flush reads this, then clear() resets). */
+    def snapshot(rows: Int): (Option[Seq[Long]], Option[Seq[Long]]) = {
+      if (rows == 0) return (None, None)
+      val m = sMins.toVector ++ (if (rowsIn > 0)
+        Vector(if (mn == Long.MaxValue) Long.MinValue else mn) else Vector.empty)
+      val x = sMaxs.toVector ++ (if (rowsIn > 0)
+        Vector(if (mx == Long.MinValue) Long.MaxValue else mx) else Vector.empty)
+      (Some(m), Some(x))
+    }
+    def clear(): Unit = {
+      sMins.clear(); sMaxs.clear()
+      mn = Long.MaxValue; mx = Long.MinValue; rowsIn = 0
+    }
+  }
+
   private sealed trait ColBuf {
     var rows = 0
     var rawBytes = 0L
@@ -126,9 +163,41 @@ object TableEncoder {
     def encode(aligned: Boolean): ColumnStreams
     def minMax: (Option[String], Option[String])
     def sumVal: Option[Long] = None
-    /** Per-stride (min, max) arrays — long-family columns only. */
+    /** Per-stride (min, max) arrays in long order space (long-family,
+      * double/float sortable bits, string prefix longs).
+      */
     def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = (None, None)
     def clear(): Unit = { rows = 0; rawBytes = 0L; present.clear() }
+
+    /** Segmented encode: one independently-decodable ColumnStreams per
+      * index stride, plus per-stride null counts. Each subclass encodes a
+      * (present-slice, value-range) via encodeSlice; chunk-scoped state
+      * (FSST tables) is prepared once in beginSlices.
+      */
+    def encodeStrided(aligned: Boolean, strideRows: Int): (Array[ColumnStreams], Array[Int]) = {
+      val pres = present.toArray
+      val nStrides = (rows + strideRows - 1) / strideRows
+      val out = new Array[ColumnStreams](nStrides)
+      val nulls = new Array[Int](nStrides)
+      beginSlices()
+      var v = 0
+      var s = 0
+      while (s < nStrides) {
+        val r0 = s * strideRows
+        val r1 = math.min(rows, r0 + strideRows)
+        val v0 = v
+        var nc = 0
+        var r = r0
+        while (r < r1) { if (pres(r)) v += 1 else nc += 1; r += 1 }
+        out(s) = encodeSlice(aligned, java.util.Arrays.copyOfRange(pres, r0, r1), v0, v)
+        nulls(s) = nc
+        s += 1
+      }
+      (out, nulls)
+    }
+    protected def beginSlices(): Unit = {}
+    protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
+                              valStart: Int, valEnd: Int): ColumnStreams
   }
 
   private final class LongColBuf(codecTag: String, indexStride: Int) extends ColBuf {
@@ -137,22 +206,9 @@ object TableEncoder {
     private var mx = Long.MinValue
     private var sum = 0L
     private var sumOverflowed = false
-    // per-stride row index: closed strides + the currently-open one
-    private val sMins = new ArrayBuffer[Long]()
-    private val sMaxs = new ArrayBuffer[Long]()
-    private var strideMn = Long.MaxValue
-    private var strideMx = Long.MinValue
-    private var rowsInStride = 0
-    private def closeStride(): Unit = {
-      // empty stride (all nulls) → always-keep sentinel range
-      if (strideMn == Long.MaxValue && strideMx == Long.MinValue) {
-        sMins += Long.MinValue; sMaxs += Long.MaxValue
-      } else { sMins += strideMn; sMaxs += strideMx }
-      strideMn = Long.MaxValue; strideMx = Long.MinValue; rowsInStride = 0
-    }
+    private val strides = new StrideTracker(indexStride)
     def add(row: Row, i: Int): Unit = {
       rows += 1
-      rowsInStride += 1
       if (row.isNullAt(i)) present.add(false)
       else {
         present.add(true)
@@ -160,39 +216,39 @@ object TableEncoder {
         values.add(v)
         if (v < mn) mn = v
         if (v > mx) mx = v
-        if (v < strideMn) strideMn = v
-        if (v > strideMx) strideMx = v
+        strides.addValue(v, v)
         val prev = sum
         sum += v
         // overflow-checked sum like LongWriterStatistics.cs:9-76
         if (((prev ^ sum) & (v ^ sum)) < 0) sumOverflowed = true
         rawBytes += 8
       }
-      if (rowsInStride == indexStride) closeStride()
+      strides.addRow()
     }
-    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = {
-      if (rows == 0) return (None, None)
-      // snapshot without mutating (flush reads this, then clear() resets)
-      val mins = sMins.toVector ++ (if (rowsInStride > 0)
-        Vector(if (strideMn == Long.MaxValue) Long.MinValue else strideMn) else Vector.empty)
-      val maxs = sMaxs.toVector ++ (if (rowsInStride > 0)
-        Vector(if (strideMx == Long.MinValue) Long.MaxValue else strideMx) else Vector.empty)
-      (Some(mins), Some(maxs))
+    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = strides.snapshot(rows)
+    private var snap: Array[Long] = null
+    override protected def beginSlices(): Unit = { snap = values.toArray }
+    protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
+                              v0: Int, v1: Int): ColumnStreams = {
+      val vals = java.util.Arrays.copyOfRange(snap, v0, v1)
+      codecTag match {
+        case "timestamp" => ColumnCodec.encodeTimestamp(vals, pres, aligned)
+        case "date"      => ColumnCodec.encodeDate(vals, pres, aligned)
+        case "byte"      =>
+          // reference routes byte columns to ByteRLE (ByteWriter.cs:87-88)
+          val bytes = new Array[Byte](vals.length)
+          var bi = 0
+          while (bi < vals.length) { bytes(bi) = vals(bi).toByte; bi += 1 }
+          ColumnCodec.encodeByte(bytes, pres)
+        case t if t.startsWith("decimal:") =>
+          val sc = t.substring(8).toLong
+          ColumnCodec.encodeDecimal18(vals, Array.fill(vals.length)(sc), pres, aligned)
+        case _           => ColumnCodec.encodeLong(vals, pres, aligned)
+      }
     }
-    def encode(aligned: Boolean): ColumnStreams = codecTag match {
-      case "timestamp" => ColumnCodec.encodeTimestamp(values.toArray, present.toArray, aligned)
-      case "date"      => ColumnCodec.encodeDate(values.toArray, present.toArray, aligned)
-      case "byte"      =>
-        // reference routes byte columns to ByteRLE (ByteWriter.cs:87-88)
-        val longs = values.toArray
-        val bytes = new Array[Byte](longs.length)
-        var bi = 0
-        while (bi < longs.length) { bytes(bi) = longs(bi).toByte; bi += 1 }
-        ColumnCodec.encodeByte(bytes, present.toArray)
-      case t if t.startsWith("decimal:") =>
-        val sc = t.substring(8).toLong
-        ColumnCodec.encodeDecimal18(values.toArray, Array.fill(values.length)(sc), present.toArray, aligned)
-      case _           => ColumnCodec.encodeLong(values.toArray, present.toArray, aligned)
+    def encode(aligned: Boolean): ColumnStreams = {
+      beginSlices()
+      encodeSlice(aligned, present.toArray, 0, values.length)
     }
     def minMax: (Option[String], Option[String]) =
       if (values.length == 0) (None, None) else (Some(mn.toString), Some(mx.toString))
@@ -201,8 +257,7 @@ object TableEncoder {
     override def clear(): Unit = {
       super.clear(); values.clear(); mn = Long.MaxValue; mx = Long.MinValue
       sum = 0L; sumOverflowed = false
-      sMins.clear(); sMaxs.clear()
-      strideMn = Long.MaxValue; strideMx = Long.MinValue; rowsInStride = 0
+      strides.clear(); snap = null
     }
   }
 
@@ -224,22 +279,66 @@ object TableEncoder {
         rawBytes += 1
       }
     }
-    def encode(aligned: Boolean): ColumnStreams = ColumnCodec.encodeBool(values.toArray, present.toArray)
+    private var snap: Array[Boolean] = null
+    override protected def beginSlices(): Unit = { snap = values.toArray }
+    protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
+                              v0: Int, v1: Int): ColumnStreams =
+      ColumnCodec.encodeBool(java.util.Arrays.copyOfRange(snap, v0, v1), pres)
+    def encode(aligned: Boolean): ColumnStreams = {
+      beginSlices()
+      encodeSlice(aligned, present.toArray, 0, values.length)
+    }
     def minMax: (Option[String], Option[String]) =
       if (values.length == 0) (None, None)
       else (Some(if (trues < values.length) "0" else "1"), Some(if (trues > 0) "1" else "0"))
     override def sumVal: Option[Long] = if (values.length == 0) None else Some(trues)
-    override def clear(): Unit = { super.clear(); values.clear(); trues = 0L }
+    override def clear(): Unit = { super.clear(); values.clear(); trues = 0L; snap = null }
   }
 
   /** Order-preserving map double → long (Lucene's sortableLong): stride
     * min/max for double columns ride the same long-typed row-index fields
     * as integer columns, with predicate bounds mapped the same way.
-    * NaN excluded by callers.
+    * NaN excluded by callers. Signed zero is canonicalized (+0.0) first:
+    * SQL compares -0.0 == 0.0, but raw sortable bits map them to -1 vs 0,
+    * which would let a stride whose max is -0.0 be pruned for lo = 0.0.
     */
   def doubleSortableBits(d: Double): Long = {
-    val b = java.lang.Double.doubleToLongBits(d)
+    val b = java.lang.Double.doubleToLongBits(d + 0.0) // -0.0 + 0.0 == +0.0
     b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
+  /** Float analogue of doubleSortableBits (widened to Long so float
+    * columns ride the same long-typed stride index fields).
+    */
+  def floatSortableBits(f: Float): Long = {
+    val b = java.lang.Float.floatToIntBits(f + 0.0f)
+    (b ^ ((b >> 31) & 0x7fffffff)).toLong
+  }
+
+  /** Order-preserving 8-byte-prefix map for string stride stats: the
+    * first 8 UTF-8 bytes as a big-endian unsigned value (zero-padded),
+    * sign bit flipped so SIGNED long order equals unsigned byte order.
+    * Truncation rounds DOWN ("abcdefghX" ≥ "abcdefgh" in byte order), so
+    * the floor is valid for minima and query lower bounds; use
+    * stringPrefixCeil for maxima and upper bounds.
+    */
+  def stringPrefixFloor(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) (b(i) & 0xffL) else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
+
+  /** Upper-bound companion: exact for strings ≤ 8 bytes; longer strings
+    * round the truncated prefix UP one step (saturating), which stays ≥
+    * every string sharing that prefix in the floor image.
+    */
+  def stringPrefixCeil(b: Array[Byte]): Long = {
+    val f = stringPrefixFloor(b)
+    if (b.length <= 8 || f == Long.MaxValue) f else f + 1
   }
 
   /** Min/max like DoubleWriterStatistics.cs — NaN values are excluded
@@ -252,62 +351,50 @@ object TableEncoder {
     private var mn = Double.PositiveInfinity
     private var mx = Double.NegativeInfinity
     private var sawFinite = false
-    private val sMins = new ArrayBuffer[Long]()
-    private val sMaxs = new ArrayBuffer[Long]()
-    private var strideMn = Long.MaxValue
-    private var strideMx = Long.MinValue
-    private var rowsInStride = 0
-    private def closeStride(): Unit = {
-      // empty or all-NaN stride → always-keep sentinel range
-      if (strideMn == Long.MaxValue && strideMx == Long.MinValue) {
-        sMins += Long.MinValue; sMaxs += Long.MaxValue
-      } else { sMins += strideMn; sMaxs += strideMx }
-      strideMn = Long.MaxValue; strideMx = Long.MinValue; rowsInStride = 0
-    }
+    private val strides = new StrideTracker(indexStride)
     def add(row: Row, i: Int): Unit = {
       rows += 1
-      rowsInStride += 1
       if (row.isNullAt(i)) present.add(false)
       else {
         present.add(true)
         val v = row.getDouble(i)
-        if (!v.isNaN) {
+        if (!v.isNaN) { // NaN excluded: it would poison every pruning compare
           sawFinite = true
           if (v < mn) mn = v
           if (v > mx) mx = v
           val s = doubleSortableBits(v)
-          if (s < strideMn) strideMn = s
-          if (s > strideMx) strideMx = s
+          strides.addValue(s, s)
         }
         values.add(v)
         rawBytes += 8
       }
-      if (rowsInStride == indexStride) closeStride()
+      strides.addRow()
     }
-    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = {
-      if (rows == 0) return (None, None)
-      val mins = sMins.toVector ++ (if (rowsInStride > 0)
-        Vector(if (strideMn == Long.MaxValue) Long.MinValue else strideMn) else Vector.empty)
-      val maxs = sMaxs.toVector ++ (if (rowsInStride > 0)
-        Vector(if (strideMx == Long.MinValue) Long.MaxValue else strideMx) else Vector.empty)
-      (Some(mins), Some(maxs))
+    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = strides.snapshot(rows)
+    private var snap: Array[Double] = null
+    override protected def beginSlices(): Unit = { snap = values.toArray }
+    protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
+                              v0: Int, v1: Int): ColumnStreams =
+      ColumnCodec.encodeDouble(java.util.Arrays.copyOfRange(snap, v0, v1), pres)
+    def encode(aligned: Boolean): ColumnStreams = {
+      beginSlices()
+      encodeSlice(aligned, present.toArray, 0, values.length)
     }
-    def encode(aligned: Boolean): ColumnStreams = ColumnCodec.encodeDouble(values.toArray, present.toArray)
     def minMax: (Option[String], Option[String]) =
       if (!sawFinite) (None, None) else (Some(mn.toString), Some(mx.toString))
     override def clear(): Unit = {
       super.clear(); values.clear()
       mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sawFinite = false
-      sMins.clear(); sMaxs.clear()
-      strideMn = Long.MaxValue; strideMx = Long.MinValue; rowsInStride = 0
+      strides.clear(); snap = null
     }
   }
 
-  private final class FloatColBuf extends ColBuf {
+  private final class FloatColBuf(indexStride: Int) extends ColBuf {
     private val values = new graft.core.FloatBuf(1024)
     private var mn = Float.PositiveInfinity
     private var mx = Float.NegativeInfinity
     private var sawFinite = false
+    private val strides = new StrideTracker(indexStride)
     def add(row: Row, i: Int): Unit = {
       rows += 1
       if (row.isNullAt(i)) present.add(false)
@@ -318,17 +405,30 @@ object TableEncoder {
           sawFinite = true
           if (v < mn) mn = v
           if (v > mx) mx = v
+          val s = floatSortableBits(v)
+          strides.addValue(s, s)
         }
         values.add(v)
         rawBytes += 4
       }
+      strides.addRow()
     }
-    def encode(aligned: Boolean): ColumnStreams = ColumnCodec.encodeFloat(values.toArray, present.toArray)
+    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = strides.snapshot(rows)
+    private var snap: Array[Float] = null
+    override protected def beginSlices(): Unit = { snap = values.toArray }
+    protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
+                              v0: Int, v1: Int): ColumnStreams =
+      ColumnCodec.encodeFloat(java.util.Arrays.copyOfRange(snap, v0, v1), pres)
+    def encode(aligned: Boolean): ColumnStreams = {
+      beginSlices()
+      encodeSlice(aligned, present.toArray, 0, values.length)
+    }
     def minMax: (Option[String], Option[String]) =
       if (!sawFinite) (None, None) else (Some(mn.toString), Some(mx.toString))
     override def clear(): Unit = {
       super.clear(); values.clear()
       mn = Float.PositiveInfinity; mx = Float.NegativeInfinity; sawFinite = false
+      strides.clear(); snap = null
     }
   }
 
@@ -347,6 +447,9 @@ object TableEncoder {
         rawBytes += v.length
       }
     }
+    protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
+                              v0: Int, v1: Int): ColumnStreams =
+      ColumnCodec.encodeBinary(values.slice(v0, v1).toArray, pres, aligned)
     def encode(aligned: Boolean): ColumnStreams = ColumnCodec.encodeBinary(values.toArray, present.toArray, aligned)
     def minMax: (Option[String], Option[String]) = (None, None)
     override def sumVal: Option[Long] = if (values.isEmpty) None else Some(rawBytes)
@@ -375,6 +478,10 @@ object TableEncoder {
         rawBytes += 16
       }
     }
+    protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
+                              v0: Int, v1: Int): ColumnStreams =
+      ColumnCodec.encodeDecimal128(values.slice(v0, v1).toArray,
+        Array.fill(v1 - v0)(scale.toLong), pres, aligned)
     def encode(aligned: Boolean): ColumnStreams =
       ColumnCodec.encodeDecimal128(values.toArray, Array.fill(values.length)(scale.toLong),
         present.toArray, aligned)
@@ -384,10 +491,12 @@ object TableEncoder {
     override def clear(): Unit = { super.clear(); values.clear(); mn = null; mx = null }
   }
 
-  private final class StringColBuf(codec: String) extends ColBuf {
+  private final class StringColBuf(codec: String, indexStride: Int) extends ColBuf {
     private val values = new ArrayBuffer[Array[Byte]]() // UTF-8 (shredded via cast to binary)
     private var mn: Array[Byte] = null
     private var mx: Array[Byte] = null
+    // per-stride 8-byte-prefix range (stringPrefixFloor/Ceil order space)
+    private val strides = new StrideTracker(indexStride)
     // FSST symbol table trained on the partition's first chunk, reused for
     // every later chunk of this partition (amortizes training; the table is
     // still serialized per chunk so decode stays self-contained)
@@ -403,10 +512,13 @@ object TableEncoder {
         // only beyond the BMP); stats are advisory min/max, fine either way
         if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
         if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
+        strides.addValue(stringPrefixFloor(v), stringPrefixCeil(v))
         rawBytes += v.length
       }
+      strides.addRow()
     }
-    def encode(aligned: Boolean): ColumnStreams = {
+    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = strides.snapshot(rows)
+    override protected def beginSlices(): Unit = {
       if (codec == Codecs.StringFsst && fsstTable == null) {
         val corpus = new graft.core.ByteBuf(1 << 14)
         var i = 0
@@ -416,6 +528,12 @@ object TableEncoder {
         }
         fsstTable = graft.core.Fsst.train(corpus.toArray)
       }
+    }
+    protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
+                              v0: Int, v1: Int): ColumnStreams =
+      CodecSelector.encodeStrBytes(codec, values.slice(v0, v1).toArray, pres, fsstTable, aligned)
+    def encode(aligned: Boolean): ColumnStreams = {
+      beginSlices()
       CodecSelector.encodeStrBytes(codec, values.toArray, present.toArray, fsstTable, aligned)
     }
     def minMax: (Option[String], Option[String]) =
@@ -424,7 +542,9 @@ object TableEncoder {
     // StringWriterStatistics.cs:9-60 sums value lengths; rawBytes is
     // exactly the summed UTF-8 length of the non-null values
     override def sumVal: Option[Long] = if (values.isEmpty) None else Some(rawBytes)
-    override def clear(): Unit = { super.clear(); values.clear(); mn = null; mx = null }
+    override def clear(): Unit = {
+      super.clear(); values.clear(); mn = null; mx = null; strides.clear()
+    }
   }
 
   private def newBuf(spec: ColumnSpec, indexStride: Int): ColBuf = spec.logical match {
@@ -436,9 +556,9 @@ object TableEncoder {
     case "date"             => new LongColBuf("date", indexStride)
     case "bool"             => new BoolColBuf
     case "double"           => new DoubleColBuf(indexStride)
-    case "float"            => new FloatColBuf
+    case "float"            => new FloatColBuf(indexStride)
     case "binary"           => new BinaryColBuf
-    case "string"           => new StringColBuf(spec.stringCodec)
+    case "string"           => new StringColBuf(spec.stringCodec, indexStride)
     case other              => throw new IllegalArgumentException(other)
   }
 
@@ -469,7 +589,8 @@ object TableEncoder {
              partIdOffset: Int = 0,
              indexStrideRows: Int = DefaultIndexStrideRows,
              aligned: Boolean = false,
-             compression: String = graft.core.BlockCompression.Zlib): Dataset[EncodedChunk] = {
+             compression: String = graft.core.BlockCompression.Zlib,
+             segmented: Boolean = false): Dataset[EncodedChunk] = {
     val spark = shredded.sparkSession
     import spark.implicits._
     val specsB = spark.sparkContext.broadcast(specs)
@@ -485,22 +606,59 @@ object TableEncoder {
       var rowsInChunk = 0
       var bufferedBytes = 0L
 
+      // segmented layout: every stream blob is a concatenation of
+      // per-stride independently-compressed segments; a pruned stride's
+      // segments are never decompressed or value-decoded on read
+      def flushSegmented(i: Int, mn: Option[String], mx: Option[String],
+                         sMins: Option[Seq[Long]], sMaxs: Option[Seq[Long]]): EncodedChunk = {
+        val (perStride, nullsPer) = bufs(i).encodeStrided(aligned, indexStrideRows)
+        val kinds = perStride.iterator.flatMap(_.streams.keysIterator).toArray.distinct
+        val blobs = Map.newBuilder[String, Array[Byte]]
+        val segLens = Map.newBuilder[String, Seq[Int]]
+        kinds.foreach { k =>
+          val bb = new graft.core.ByteBuf(4096)
+          val lens = new Array[Int](perStride.length)
+          var s = 0
+          while (s < perStride.length) {
+            val seg = perStride(s).streams.getOrElse(k, Array.emptyByteArray)
+            val comp = if (seg.isEmpty) Array.emptyByteArray
+                       else graft.core.BlockCompression.compress(compression, seg)
+            lens(s) = comp.length
+            bb.writeBytes(comp)
+            s += 1
+          }
+          blobs += k -> bb.toArray
+          segLens += k -> lens.toSeq
+        }
+        val streams = blobs.result()
+        EncodedChunk(pid, chunkId, firstRow, sp(i).name, perStride(0).codec,
+          rowsInChunk, nullsPer.sum, streams, bufs(i).rawBytes,
+          streams.valuesIterator.map(_.length.toLong).sum, mn, mx, bufs(i).sumVal,
+          indexStrideRows, sMins, sMaxs,
+          compression = Some(compression),
+          seg_lens = Some(segLens.result()),
+          stride_null_counts = Some(nullsPer.toSeq))
+      }
+
       def flush(): Iterator[EncodedChunk] = {
         if (rowsInChunk == 0) Iterator.empty
         else {
           val out = sp.indices.iterator.map { i =>
-            val cs = bufs(i).encode(aligned)
-            val zstreams = cs.streams.map { case (k, v) =>
-              k -> graft.core.BlockCompression.compress(compression, v)
-            }
             val (mn, mx) = bufs(i).minMax
             val (sMins, sMaxs) = bufs(i).strideStats
-            EncodedChunk(pid, chunkId, firstRow, sp(i).name, cs.codec,
-              cs.rowCount, cs.nullCount, zstreams,
-              bufs(i).rawBytes, zstreams.valuesIterator.map(_.length.toLong).sum, mn, mx,
-              bufs(i).sumVal,
-              if (sMins.isDefined) indexStrideRows else 0, sMins, sMaxs,
-              compression = Some(compression))
+            if (segmented) flushSegmented(i, mn, mx, sMins, sMaxs)
+            else {
+              val cs = bufs(i).encode(aligned)
+              val zstreams = cs.streams.map { case (k, v) =>
+                k -> graft.core.BlockCompression.compress(compression, v)
+              }
+              EncodedChunk(pid, chunkId, firstRow, sp(i).name, cs.codec,
+                cs.rowCount, cs.nullCount, zstreams,
+                bufs(i).rawBytes, zstreams.valuesIterator.map(_.length.toLong).sum, mn, mx,
+                bufs(i).sumVal,
+                if (sMins.isDefined) indexStrideRows else 0, sMins, sMaxs,
+                compression = Some(compression))
+            }
           }.toArray
           firstRow += rowsInChunk
           chunkId += 1
@@ -640,25 +798,61 @@ object TableEncoder {
     * afterwards.
     */
   def decodePruned(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
-                   column: String, lo: Long, hi: Long): DataFrame =
-    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), LongType,
-      stridePrune = Some((column, lo, hi)))
+                   column: String, lo: Long, hi: Long): DataFrame = {
+    // stride stats are only in raw-long order space for the long family —
+    // string/double/float columns record prefix/sortable-bits spaces, so
+    // long bounds must not be compared against them (use the typed
+    // decodePruned* entry points for those)
+    val longFamily = Set("long", "timestamp", "timestamp_ntz", "date", "decimal")
+    val stridePrune = specs.find(s => s.name.equalsIgnoreCase(column) &&
+        longFamily.contains(s.logical))
+      .map(s => (s.name, lo, hi))
+    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), LongType, stridePrune)
+  }
 
-  /** Range-prune on a double/float column's stats. Double columns also
-    * carry a per-stride row index in sortable-bits space, so sub-chunk
-    * skipping applies just like integer columns.
+  /** Range-prune on a double/float column's stats. Both carry a
+    * per-stride row index in sortable-bits space, so sub-chunk skipping
+    * applies just like integer columns; float query bounds are widened
+    * to the enclosing representable floats so double-typed predicates
+    * never drop a matching stride.
     */
   def decodePrunedDouble(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
                          column: String, lo: Double, hi: Double): DataFrame = {
-    val stridePrune = specs.find(s => s.name == column && s.logical == "double")
-      .map(_ => (column, doubleSortableBits(lo), doubleSortableBits(hi)))
+    // widen a lo == ±0.0 bound to the uncanonicalized -0.0 sortable value
+    // (-1) so chunks written before signed-zero canonicalization (whose
+    // stride stats may carry -1 for -0.0) are still kept, never dropped
+    val stridePrune = specs.find(s => s.name.equalsIgnoreCase(column)).flatMap { s =>
+      s.logical match {
+        case "double" =>
+          val loBits = if (lo == 0.0) -1L else doubleSortableBits(lo)
+          Some((s.name, loBits, doubleSortableBits(hi)))
+        case "float" =>
+          var lf = lo.toFloat // round bounds OUTWARD to floats
+          if (lf.toDouble > lo) lf = Math.nextDown(lf)
+          var hf = hi.toFloat
+          if (hf.toDouble < hi) hf = Math.nextUp(hf)
+          val loBits = if (lf == 0.0f) -1L else floatSortableBits(lf)
+          Some((s.name, loBits, floatSortableBits(hf)))
+        case _ => None
+      }
+    }
     decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), DoubleType, stridePrune)
   }
 
-  /** Range-prune on a string column's stats (lexicographic bounds). */
+  /** Range-prune on a string column's stats: chunk-level lexicographic
+    * bounds plus the 8-byte-prefix stride index for sub-chunk skipping
+    * (bounds mapped floor/ceil so prefix truncation never drops a match).
+    */
   def decodePrunedString(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
-                         column: String, lo: String, hi: String): DataFrame =
-    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), StringType)
+                         column: String, lo: String, hi: String): DataFrame = {
+    val stridePrune = specs.find(s => s.name.equalsIgnoreCase(column) && s.logical == "string")
+      .map { s =>
+        val loB = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val hiB = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (s.name, stringPrefixFloor(loB), stringPrefixCeil(hiB))
+      }
+    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), StringType, stridePrune)
+  }
 
   /** Range-prune on a wide-decimal (precision 19-38) column's stats,
     * whose min/max are recorded as plain decimal strings. Narrow
@@ -760,10 +954,73 @@ object TableEncoder {
     case "string"    => val (v, p) = ColumnCodec.decodeStrSlices(cs); SlicesD(v, p)
   }
 
+  /** Shared row emission: write row `r` of the decoded columns into the
+    * reused UnsafeRowWriter, advancing each column's value cursor.
+    */
+  private def writeRow(writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter,
+                       cols: Array[Decoded], cursors: Array[Int], r: Int): Unit = {
+    writer.reset()
+    writer.zeroOutNullBytes()
+    var c = 0
+    while (c < cols.length) {
+      cols(c) match {
+        case d: LongsD =>
+          if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+          else writer.setNullAt(c)
+        case d: BinsD =>
+          if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+          else writer.setNullAt(c)
+        case d: SlicesD =>
+          // slice straight from the decoded backing buffer — no
+          // per-value Array[Byte] between decode and the UnsafeRow
+          if (d.present(r)) {
+            val i = cursors(c)
+            writer.write(c, d.slices.buf, d.slices.starts(i), d.slices.lens(i))
+            cursors(c) += 1
+          } else writer.setNullAt(c)
+        case d: DoublesD =>
+          if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+          else writer.setNullAt(c)
+        case d: FloatsD =>
+          if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+          else writer.setNullAt(c)
+        case d: BoolsD =>
+          if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
+          else writer.setNullAt(c)
+        case d: DecsD =>
+          // p>18 decimals are variable-length in UnsafeRow: the writer
+          // must see the null too (it reserves the 16-byte slot and
+          // zeroes the offset), so never plain setNullAt here
+          if (d.present(r)) { writer.write(c, d.values(cursors(c)), d.precision, d.scale); cursors(c) += 1 }
+          else writer.write(c, null.asInstanceOf[org.apache.spark.sql.types.Decimal], d.precision, d.scale)
+      }
+      c += 1
+    }
+  }
+
+  /** strideKeep bitmap from the pruning column's stride stats, or null
+    * when no sub-chunk pruning applies.
+    */
+  private def strideKeepFor(byCol: Map[String, EncodedChunk],
+                            stridePrune: Option[(String, Long, Long)]): Array[Boolean] = {
+    stridePrune.foreach { case (colName, lo, hi) =>
+      byCol.get(colName).foreach { c =>
+        if (c.stride_rows > 0 && c.stride_mins.isDefined && c.stride_maxs.isDefined) {
+          val mins = c.stride_mins.get.toArray
+          val maxs = c.stride_maxs.get.toArray
+          return Array.tabulate(mins.length)(s => !(maxs(s) < lo || mins(s) > hi))
+        }
+      }
+    }
+    null
+  }
+
   /** Decode one chunk's columns and emit UnsafeRows through a reused
     * writer. The returned rows alias the writer's buffer — consume each
     * before calling next() (the contract of every columnar scan in Spark;
-    * buffering operators copy).
+    * buffering operators copy). Segmented chunks route to the per-stride
+    * decoder, which skips pruned strides' decompression and value decode
+    * entirely.
     */
   private def decodeChunkInternalRows(
       byCol: Map[String, EncodedChunk], specs: Array[ColumnSpec],
@@ -771,6 +1028,11 @@ object TableEncoder {
       stridePrune: Option[(String, Long, Long)] = None)
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val nCols = specs.length
+    if (specs.forall { s =>
+      val c = byCol(s.name)
+      c.seg_lens.isDefined && c.stride_null_counts.isDefined && c.stride_rows > 0
+    }) return decodeSegmentedInternalRows(byCol, specs, writer, stridePrune)
+
     val cols = new Array[Decoded](nCols)
     var rowCount = -1
     var i = 0
@@ -789,19 +1051,10 @@ object TableEncoder {
     // sub-chunk skipping: strides of the pruning column whose [min,max]
     // cannot overlap [lo,hi] are skipped at materialization (rows never
     // built, nothing emitted downstream) — the reference's RowIndex
-    // purpose, which its own reader never exploits
-    var strideN = 0
-    var strideKeep: Array[Boolean] = null
-    stridePrune.foreach { case (colName, lo, hi) =>
-      byCol.get(colName).foreach { c =>
-        if (c.stride_rows > 0 && c.stride_mins.isDefined && c.stride_maxs.isDefined) {
-          val mins = c.stride_mins.get.toArray
-          val maxs = c.stride_maxs.get.toArray
-          strideN = c.stride_rows
-          strideKeep = Array.tabulate(mins.length)(s => !(maxs(s) < lo || mins(s) > hi))
-        }
-      }
-    }
+    // purpose, which its own reader never exploits. (Whole-stream chunks
+    // still pay the decode; segmented chunks skip that too.)
+    val strideKeep = strideKeepFor(byCol, stridePrune)
+    val strideN = if (strideKeep != null) byCol(stridePrune.get._1).stride_rows else 0
     val cursors = new Array[Int](nCols) // next value index per column (non-null stream)
     val total = rowCount
     new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
@@ -817,43 +1070,87 @@ object TableEncoder {
       def hasNext: Boolean = { align(); r < total }
       def next(): org.apache.spark.sql.catalyst.InternalRow = {
         align()
-        writer.reset()
-        writer.zeroOutNullBytes()
-        var c = 0
-        while (c < nCols) {
-          cols(c) match {
-            case d: LongsD =>
-              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
-              else writer.setNullAt(c)
-            case d: BinsD =>
-              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
-              else writer.setNullAt(c)
-            case d: SlicesD =>
-              // slice straight from the decoded backing buffer — no
-              // per-value Array[Byte] between decode and the UnsafeRow
-              if (d.present(r)) {
-                val i = cursors(c)
-                writer.write(c, d.slices.buf, d.slices.starts(i), d.slices.lens(i))
-                cursors(c) += 1
-              } else writer.setNullAt(c)
-            case d: DoublesD =>
-              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
-              else writer.setNullAt(c)
-            case d: FloatsD =>
-              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
-              else writer.setNullAt(c)
-            case d: BoolsD =>
-              if (d.present(r)) { writer.write(c, d.values(cursors(c))); cursors(c) += 1 }
-              else writer.setNullAt(c)
-            case d: DecsD =>
-              // p>18 decimals are variable-length in UnsafeRow: the writer
-              // must see the null too (it reserves the 16-byte slot and
-              // zeroes the offset), so never plain setNullAt here
-              if (d.present(r)) { writer.write(c, d.values(cursors(c)), d.precision, d.scale); cursors(c) += 1 }
-              else writer.write(c, null.asInstanceOf[org.apache.spark.sql.types.Decimal], d.precision, d.scale)
-          }
-          c += 1
+        writeRow(writer, cols, cursors, r)
+        r += 1
+        writer.getRow
+      }
+    }
+  }
+
+  /** Per-stride decode of a segmented chunk group: only KEPT strides'
+    * stream segments are ever decompressed and value-decoded — for a
+    * selective predicate the skipped strides cost nothing but their
+    * (already-loaded) blob bytes. The reference's stream position
+    * annotations (ColumnWriterStatistics.cs:10-33,
+    * OrcCompressedBuffer.cs:66-72) realized as independently-compressed
+    * stride segments.
+    */
+  private def decodeSegmentedInternalRows(
+      byCol: Map[String, EncodedChunk], specs: Array[ColumnSpec],
+      writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter,
+      stridePrune: Option[(String, Long, Long)])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val nCols = specs.length
+    val chunksArr = specs.map(s => byCol(s.name))
+    val rowCount = chunksArr(0).row_count
+    chunksArr.foreach(c =>
+      require(c.row_count == rowCount, s"chunk row_count mismatch on ${c.column}"))
+    val strideN = chunksArr(0).stride_rows
+    val nStrides = chunksArr(0).stride_null_counts.get.size
+    // per column, per stream kind: segment offsets within the blob
+    val colSegs: Array[Array[(String, Array[Int], Array[Int])]] = chunksArr.map { c =>
+      c.seg_lens.get.iterator.map { case (k, lensSeq) =>
+        val lens = lensSeq.toArray
+        val offs = new Array[Int](lens.length)
+        var acc = 0
+        var i = 0
+        while (i < lens.length) { offs(i) = acc; acc += lens(i); i += 1 }
+        (k, offs, lens)
+      }.toArray
+    }
+    val strideKeep = strideKeepFor(byCol, stridePrune)
+
+    def decodeStrideCol(ci: Int, s: Int): Decoded = {
+      val c = chunksArr(ci)
+      val kindC = c.compression.getOrElse(graft.core.BlockCompression.Zlib)
+      val rowsS = math.min(strideN, rowCount - s * strideN)
+      val nullsS = c.stride_null_counts.get(s)
+      val m = Map.newBuilder[String, Array[Byte]]
+      colSegs(ci).foreach { case (k, offs, lens) =>
+        if (lens(s) == 0) {
+          // empty PRESENT segment == "no nulls in this stride" and must
+          // stay ABSENT (readPresent treats absence as all-present);
+          // other kinds legitimately decode from empty bytes
+          if (k != Streams.Present) m += k -> Array.emptyByteArray
+        } else {
+          val seg = java.util.Arrays.copyOfRange(c.streams(k), offs(s), offs(s) + lens(s))
+          m += k -> graft.core.BlockCompression.decompress(kindC, seg)
         }
+      }
+      decodeColumnPrim(ColumnStreams(c.codec, rowsS, nullsS, m.result()), specs(ci))
+    }
+
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var s = 0
+      private var r = 0
+      private var rowsS = 0
+      private val cols = new Array[Decoded](nCols)
+      private val cursors = new Array[Int](nCols)
+      private def advance(): Unit = {
+        while (r >= rowsS && s < nStrides) {
+          if (strideKeep == null || strideKeep(s)) {
+            var c = 0
+            while (c < nCols) { cols(c) = decodeStrideCol(c, s); cursors(c) = 0; c += 1 }
+            rowsS = math.min(strideN, rowCount - s * strideN)
+            r = 0
+          }
+          s += 1
+        }
+      }
+      def hasNext: Boolean = { advance(); r < rowsS }
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        advance()
+        writeRow(writer, cols, cursors, r)
         r += 1
         writer.getRow
       }

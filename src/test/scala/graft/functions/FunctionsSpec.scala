@@ -45,7 +45,7 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(res.length == 15)
     res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
-      val cosines = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val cosines = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(cosines.sameElements(cosines.sorted.reverse), "ranks not in descending cosine order")
     }
   }

@@ -183,6 +183,109 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byCol("flag").forall(c => c.min_val.contains("0") && c.max_val.contains("1")))
   }
 
+  test("segmented round trip is exact across all types (nulls, dict, fsst, decimal128)") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val df = (0 until 23000).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) None else Some(i * 3 - 1000L),
+        s"lang${i % 5}", // low cardinality → dict
+        if (i % 11 == 0) None else Some(s"the quick brown fox $i jumps over the lazy dog"),
+        i.toDouble / 3.0,
+        i.toFloat * 1.5f,
+        i % 3 == 0,
+        (i % 100).toByte)
+    }.toDF("id", "v", "lang", "text", "d", "f", "b", "y")
+      .withColumn("big", when(col("id") % 13 === 0, lit(null))
+        .otherwise(concat(col("id").cast("string"), lit("00000000000000000001.5")))
+        .cast("decimal(38,4)"))
+    val codecs = Map("lang" -> Codecs.StringDictV2, "text" -> Codecs.StringFsst)
+    val specs = TableEncoder.columnSpecs(df.schema, codecs)
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      indexStrideRows = 700, segmented = true).persist()
+    // every chunk is segmented with per-stream segment indexes
+    assert(chunks.collect().forall(c => c.seg_lens.isDefined && c.stride_null_counts.isDefined))
+    val decoded = TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
+    assert(decoded.exceptAll(df).count() == 0)
+    assert(df.exceptAll(decoded).count() == 0)
+    chunks.unpersist()
+  }
+
+  test("segmented stride pruning skips DECOMPRESSION work, not just row materialization") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val df = (0 until 20000).map(i => (i.toLong, s"payload-$i-${"x" * 40}")).toDF("id", "payload")
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      indexStrideRows = 500, segmented = true).persist()
+    chunks.count() // materialize so the decode passes below hit the cache
+
+    graft.core.BlockCompression.resetCounters()
+    val full = TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs).count()
+    val fullBytes = graft.core.BlockCompression.decompressInputBytes
+    assert(full == 20000)
+
+    graft.core.BlockCompression.resetCounters()
+    val pruned = TableEncoder.unshred(
+      TableEncoder.decodePruned(chunks, specs, "id", 500L, 700L), specs)
+    assert(pruned.filter(col("id").between(500, 700)).count() == 201)
+    val prunedBytes = graft.core.BlockCompression.decompressInputBytes
+    // 1 kept stride of 20 in 1 kept chunk of 2: decompression must drop
+    // far below the kept chunk's total, not just the emitted row count
+    assert(prunedBytes > 0, "counter not wired")
+    assert(prunedBytes < fullBytes / 5,
+      s"stride pruning decompressed $prunedBytes of $fullBytes bytes — decode work not skipped")
+    chunks.unpersist()
+  }
+
+  test("string stride index skips sub-chunk via the 8-byte-prefix row index") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val df = (0 until 20000).map(i => (i.toLong, f"k$i%06d")).toDF("id", "key")
+      .repartitionByRange(2, col("key")).sortWithinPartitions("key")
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    // one chunk per partition, fine stride: skipping must act BELOW chunks
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      indexStrideRows = 500, segmented = true).persist()
+
+    val lo = "k001000"; val hi = "k001200"
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePrunedString(chunks, specs, "key", lo, hi), specs).persist()
+    val exact = decoded.filter(col("key").between(lo, hi))
+    assert(exact.count() == 201)
+    val keptChunkRows = chunks.filter(col("column") === "key" &&
+        !(col("max_val") < lo || col("min_val") > hi))
+      .agg(sum(col("row_count"))).first().getLong(0)
+    val emitted = decoded.count()
+    assert(emitted < keptChunkRows,
+      s"no sub-chunk skipping on string: emitted $emitted == kept-chunk rows $keptChunkRows")
+    decoded.unpersist(); chunks.unpersist()
+  }
+
+  test("float stride index skips sub-chunk (sortable-bits order, incl. negatives)") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val df = (0 until 20000).map(i => (i.toLong, (i - 10000).toFloat / 2.0f)).toDF("id", "v")
+      .repartitionByRange(2, col("v")).sortWithinPartitions("v")
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      indexStrideRows = 500, segmented = true).persist()
+
+    val lo = -250.0; val hi = 250.0
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePrunedDouble(chunks, specs, "v", lo, hi), specs).persist()
+    val exact = decoded.filter(col("v").between(lo, hi))
+    assert(exact.count() == 1001)
+    val keptChunkRows = chunks.filter(col("column") === "v" &&
+        !(col("max_val").cast("double") < lo || col("min_val").cast("double") > hi))
+      .agg(sum(col("row_count"))).first().getLong(0)
+    val emitted = decoded.count()
+    assert(emitted < keptChunkRows,
+      s"no sub-chunk skipping on float: emitted $emitted == kept-chunk rows $keptChunkRows")
+    decoded.unpersist(); chunks.unpersist()
+  }
+
   test("byte columns route through ByteRLE and carry sum stats") {
     val df = spark.range(0, 3000)
       .select(col("id"), (col("id") % 100).cast("byte").as("b"))
