@@ -122,11 +122,22 @@ object Bench {
     // first-job warmup (scheduler, codegen, parquet footer reads) so the
     // alphabetically-first query isn't billed for session startup
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // min-of-2 interleaved, like the encode/decode sections: a single
+    // pass is storm-sensitive on this VM (round-2 artifact showed 8.63 s
+    // for a query that warm-measures 1.55 s), and the driver artifact is
+    // the round's hard perf signal — two full passes over the sorted
+    // list, min per query
+    val qnames = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qbest = scala.collection.mutable.Map[String, Double]()
+    (1 to 2).foreach { _ =>
+      qnames.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        val sec = (System.nanoTime() - t0) / 1e9
+        qbest(name) = math.min(qbest.getOrElse(name, Double.MaxValue), sec)
+      }
     }
+    val results = qnames.map { case (name, _) => name -> qbest(name) }
 
     spark.stop()
 

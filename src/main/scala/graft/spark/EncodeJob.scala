@@ -351,8 +351,26 @@ object EncodeJob {
     */
   def readBack(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
                columns: Option[Seq[String]] = None): DataFrame =
-    if (colocatedLayoutOk(spark, outDir, specs)) readBackColocated(spark, outDir, specs, columns)
+    // a column-partitioned layout can never satisfy the colocated
+    // invariant (each file holds ONE column's chunks), so skip the
+    // metadata probe entirely — detected from the directory listing alone
+    if (!isColumnPartitioned(spark, outDir) && colocatedLayoutOk(spark, outDir, specs))
+      readBackColocated(spark, outDir, specs, columns)
     else readBackShuffled(spark, outDir, specs, columns)
+
+  /** True when the chunk table was written with partitionByColumn
+    * (column=<name> dirs under the batch dirs) — a filesystem listing,
+    * no data or parquet-footer reads.
+    */
+  def isColumnPartitioned(spark: SparkSession, outDir: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(chunkDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(dir) && fs.listStatus(dir).exists { batch =>
+      batch.isDirectory && batch.getPath.getName.startsWith("batch=") &&
+        fs.listStatus(batch.getPath).exists(c =>
+          c.isDirectory && c.getPath.getName.startsWith("column="))
+    }
+  }
 
   /** Shuffle-based decode: one exchange moves each chunk group to a
     * single task. Always correct regardless of file layout; the fallback

@@ -32,4 +32,12 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Drain the listener bus so SparkListener-collected metrics (e.g.
+    * bytes-read assertions in tests) are complete before reading them.
+    * `listenerBus.waitUntilEmpty` is private[spark]; this is the same
+    * org.apache.spark-package bridge pattern as the rest of this file.
+    */
+  def waitListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -234,5 +234,81 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // truncated/corrupt WAV falls back to the deterministic stub, never throws
     val mBad = Multimodal.FakeDecoder.meta("RIFFxxxxWAVEbroken".getBytes("ASCII"))
     assert(mBad.format == "wav" && mBad.width >= 64)
+
+    // a chunk whose u32 size would overflow a signed int must fall back
+    // cleanly, not index with a truncated negative offset
+    val evil = "RIFF".getBytes("ASCII") ++ le32(100) ++ "WAVE".getBytes("ASCII") ++
+      "junk".getBytes("ASCII") ++ le32(0x90000000) ++ new Array[Byte](64)
+    val mEvil = Multimodal.FakeDecoder.meta(evil)
+    assert(mEvil.format == "wav" && mEvil.width >= 64) // stub path, no throw
+  }
+
+  test("multimodal meta parses real MP4 box trees (tkhd dims, stsz frame count)") {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(payload.length + 8)
+      bb.putInt(payload.length + 8).put(tpe.getBytes("ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("ASCII") ++ new Array[Byte](4))
+    // tkhd v0: 84-byte payload, width/height as 16.16 fixed at 76/80
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(76, 640 << 16)
+      bb.putInt(80, 360 << 16)
+      box("tkhd", bb.array())
+    }
+    // stsz: version/flags, sample_size=0, sample_count=901
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(8, 901)
+      box("stsz", bb.array())
+    }
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsz))))
+    val mp4 = ftyp ++ box("moov", trak)
+    val m = Multimodal.FakeDecoder.meta(mp4)
+    assert(m.format == "mp4" && m.width == 640 && m.height == 360 && m.frames == 901, s"$m")
+
+    // audio-only mp4 (tkhd 0×0): frames still from stsz, dims stay 0
+    val audioTkhd = box("tkhd", new Array[Byte](84))
+    val audio = ftyp ++ box("moov", box("trak", audioTkhd ++ box("mdia", box("minf", box("stbl", stsz)))))
+    val mA = Multimodal.FakeDecoder.meta(audio)
+    assert(mA.format == "mp4" && mA.width == 0 && mA.frames == 901, s"$mA")
+
+    // truncated/corrupt box tree: stub fallback, never a throw
+    val mBad = Multimodal.FakeDecoder.meta(ftyp ++ "moovgarbage".getBytes("ASCII"))
+    assert(mBad.format == "mp4" && mBad.width >= 64)
+  }
+
+  test("embedding near-dup: multi-table OR-construction recovers boundary pairs single-table misses") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 40 base unit vectors + near-copies at cosine ≈ 0.995 — close enough
+    // to pass the 0.98 verification threshold, far enough that at
+    // planes=12 a single bucketing provably splits some pairs across a
+    // hyperplane (deterministic: seeded vectors, hash-derived planes)
+    val rng = new scala.util.Random(1234)
+    val dim = 16
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = normalize(Array.fill(dim)(rng.nextGaussian().toFloat))
+      val noise = Array.fill(dim)((rng.nextGaussian() * 0.025).toFloat)
+      val near = normalize(base.zip(noise).map { case (a, b) => a + b })
+      Seq((i.toLong, base), (i.toLong + 1000, near))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def recallOf(tables: Int): Double = {
+      val pairs = Dedup.embeddingNearDuplicates(df, "vec_id", "embedding",
+        planes = 12, threshold = 0.98, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until 40).count(i => pairs.contains((i.toLong, i.toLong + 1000))) / 40.0
+    }
+    val single = recallOf(1)
+    val multi = recallOf(8)
+    assert(single < 1.0, s"single-table recall $single — boundary pairs not boundary enough")
+    assert(multi == 1.0, s"multi-table recall $multi < 1 (single was $single)")
+    assert(multi > single)
   }
 }

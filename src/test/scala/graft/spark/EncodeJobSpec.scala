@@ -94,6 +94,65 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaShuffleSubset.orderBy("url").collect().toSeq == viaFull)
   }
 
+  test("column-partitioned layout: subset reads scan ~only the requested columns' bytes") {
+    // enough rows that stream bytes dwarf per-file parquet footers —
+    // the assertion is about data IO, not fixed metadata costs
+    val pages = WebGen.pages(spark, 12000, seed = 77, partitions = 4).toDF()
+    val out = s"$tmp/bycolumn"
+    val result = EncodeJob.run(pages,
+      EncodeJob.Config(out, 4, Some("lang"), partitionByColumn = true))
+
+    // layout: chunk files live under batch=<id>/column=<name>/ dirs
+    val colDirs = new java.io.File(s"${EncodeJob.chunkDir(out)}/batch=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(colDirs.exists(_.startsWith("column=")), s"not column-partitioned: $colDirs")
+
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def measure(body: => Unit): Long = {
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
+        bytesRead.set(0L)
+        body
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
+        bytesRead.get()
+      }
+      val fullBytes = measure {
+        assert(EncodeJob.readBack(spark, out, result.specs).count() == 12000)
+      }
+      // warc_ts + lang are tiny next to html/text: partition pruning on
+      // the column= dirs must make the subset scan a small fraction
+      val subsetBytes = measure {
+        val sub = EncodeJob.readBack(spark, out, result.specs, Some(Seq("warc_ts", "lang")))
+        assert(sub.count() == 12000)
+      }
+      assert(subsetBytes > 0 && fullBytes > 0)
+      assert(subsetBytes < fullBytes / 3,
+        s"subset read scanned $subsetBytes of $fullBytes bytes — column dirs not pruned at the scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // and the partitioned layout still decodes exactly (shuffled path)
+    val decoded = EncodeJob.readBack(spark, out, result.specs)
+    assert(decoded.exceptAll(pages).count() == 0)
+    assert(pages.exceptAll(decoded).count() == 0)
+  }
+
+  test("codec pinning is order-independent: lang-sorted input pins the same codecs as shuffled") {
+    val pages = WebGen.pages(spark, 6000, seed = 55, partitions = 4).toDF()
+    // a head read of the lang-sorted input would see one language only;
+    // the uniform sample must pin identical decisions for both orders
+    val sorted = pages.orderBy("lang").coalesce(1)
+    val shuffled = pages.orderBy(rand(7)).coalesce(1)
+    val a = EncodeJob.pinStringCodecs(sorted, 2000)
+    val b = EncodeJob.pinStringCodecs(shuffled, 2000)
+    assert(a == b, s"order-dependent codec pinning: sorted=$a shuffled=$b")
+    assert(a("lang") == graft.columns.Codecs.StringDictV2, a.toString)
+  }
+
   test("readBack auto-detects a compacted (non-colocated) layout and falls back to shuffle decode") {
     val pages = WebGen.pages(spark, 2000, seed = 33, partitions = 4).toDF()
     val out = s"$tmp/fallback"
