@@ -170,7 +170,12 @@ object Bench {
         val s = session(cpus)
         try {
           val pages = WebGen.pages(s, benchRows, seed = 42, partitions = cpus * 3).toDF()
-          EncodeJob.run(pages, EncodeJob.Config(tmpOut, cpus, Some("lang")))
+          // 3 output files per decode thread: the colocated read runs one
+          // task per file, and cpus files in one wave is straggler-bound —
+          // measured as the round-2 "decode slower at 32 than 8" inversion
+          // (DecodeScale probe: x1 files eff 0.22 and inverted, x3 files
+          // monotone). Same 3-waves rule as the encode section's input.
+          EncodeJob.run(pages, EncodeJob.Config(tmpOut, cpus * 3, Some("lang")))
         } finally s.stop()
       }
       val best = scala.collection.mutable.Map[Int, Double]()

@@ -37,6 +37,11 @@ object EncodeJob {
 
   final case class Config(
       outDir: String,
+      // encode fan-out AND the output file count (one file per encode
+      // task). Size it ~3× the widest expected READ parallelism too: the
+      // colocated decode runs one task per file, and reader-threads ==
+      // files means a single straggler-bound wave (measured as a 32-thread
+      // decode running SLOWER than 8 threads; DecodeScale probe).
       numPartitions: Int,
       keyColumn: Option[String], // skew/salt key, e.g. "lang"
       sampleRows: Int = 20000,

@@ -720,17 +720,36 @@ object TableEncoder {
     * (on the shuffle path) the network bytes for unrequested columns.
     */
   def decodeColumns(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
-                    columns: Seq[String]): DataFrame = {
-    val subset = subsetSpecs(specs, columns)
+                    columns: Seq[String], ignoreMissing: Boolean = false): DataFrame = {
     import chunks.sparkSession.implicits._
-    // filter by the RESOLVED names (subsetSpecs rebinds case-insensitively)
-    val filtered = chunks.filter(col("column").isInCollection(subset.map(_.name))).as[EncodedChunk]
-    decode(filtered, subset)
+    if (!ignoreMissing) {
+      val subset = subsetSpecs(specs, columns)
+      // filter by the RESOLVED names (subsetSpecs rebinds case-insensitively)
+      val filtered = chunks.filter(col("column").isInCollection(subset.map(_.name))).as[EncodedChunk]
+      decode(filtered, subset)
+    } else {
+      // schema-evolution read (the reference reader's ignoreMissingColumns
+      // tolerance, OrcReader.cs:49-64): requested columns absent from the
+      // written specs come back as null string columns in request order,
+      // instead of failing the whole read
+      val found = columns.filter(n => specs.exists(_.name.equalsIgnoreCase(n)))
+      val subset = subsetSpecs(specs, found)
+      val filtered = chunks.filter(col("column").isInCollection(subset.map(_.name))).as[EncodedChunk]
+      val decoded = decode(filtered, subset)
+      val out = columns.map { n =>
+        subset.find(_.name.equalsIgnoreCase(n)) match {
+          case Some(s) => col(s.name)
+          case None    => lit(null).cast(StringType).as(n)
+        }
+      }
+      decoded.select(out.toIndexedSeq: _*)
+    }
   }
 
   /** Case-insensitive name rebinding, like the reference reader's
     * property match (OrcReader.cs:49-64); the spec's canonical name wins
-    * in the output schema.
+    * in the output schema. Unknown names throw (typo protection) — use
+    * decodeColumns(ignoreMissing = true) for schema-evolution reads.
     */
   def subsetSpecs(specs: Array[ColumnSpec], columns: Seq[String]): Array[ColumnSpec] =
     columns.map(n => specs.find(_.name.equalsIgnoreCase(n)).getOrElse(

@@ -286,6 +286,24 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     decoded.unpersist(); chunks.unpersist()
   }
 
+  test("decodeColumns ignoreMissing nulls absent columns for schema-evolution reads") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, s"t$i")).toDF("id", "t")
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs)
+    // a column added to the target schema that old chunks lack
+    val out = TableEncoder.decodeColumns(chunks, specs, Seq("id", "added_later"),
+      ignoreMissing = true)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "added_later"))
+    assert(out.count() == 500)
+    assert(out.filter(col("added_later").isNotNull).count() == 0)
+    // without the flag, unknown columns still throw (typo protection)
+    intercept[IllegalArgumentException] {
+      TableEncoder.decodeColumns(chunks, specs, Seq("id", "added_later"))
+    }
+  }
+
   test("byte columns route through ByteRLE and carry sum stats") {
     val df = spark.range(0, 3000)
       .select(col("id"), (col("id") % 100).cast("byte").as("b"))
