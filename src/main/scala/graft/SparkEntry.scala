@@ -216,6 +216,23 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // content-addressed point lookup: bloom-filter chunk pruning on an
+    // unsorted high-cardinality column (text), where min/max range stats
+    // keep every chunk — the reference's Protocol/BloomFilter.cs stub
+    // (never implemented there) actually built and exploited
+    "q_bloom_lookup" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val target = docs.filter(col("doc_id") === 42).select("text").first().getString(0)
+      val codecs = EncodeJob.pinStringCodecs(docs, 5000)
+      val specs = TableEncoder.columnSpecs(docs.schema, codecs)
+      val chunks = TableEncoder.encode(TableEncoder.shred(docs, specs), specs,
+        strideRows = 100, segmented = true, bloomColumns = Set("text"))
+      TableEncoder.unshred(
+          TableEncoder.decodePrunedEqualsString(chunks, specs, "text", target), specs)
+        .filter(col("text") === lit(target))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     "q_dedup_exact" -> ((s, dir) =>
       read(s, dir, "documents")
         .groupBy(col("text"))
@@ -415,6 +432,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'l_suppkey', min(l_suppkey), max(l_suppkey), CAST(sum(l_suppkey) AS BIGINT), count(l_suppkey) FROM lineitem
         |ORDER BY col_name""".stripMargin,
+    "q_bloom_lookup" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE text = (SELECT text FROM documents WHERE doc_id = 42)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -70,6 +70,10 @@ object EncodeJob {
       // never decompressed or value-decoded on read. The production
       // default; off reproduces the whole-stream (reference-shaped) blobs.
       segmented: Boolean = true,
+      // chunk-level Bloom filters on these columns (graft.core.Bloom):
+      // equality pruning for point lookups on unsorted high-cardinality
+      // columns (url/text) where min/max ranges keep every chunk
+      bloomColumns: Set[String] = Set.empty,
       // Hive-partition the chunk table by `column` so a column-subset read
       // prunes unrequested columns' files at the SCAN (IO ∝ requested
       // columns). Trade-off: the one-file-per-task layout invariant the
@@ -203,7 +207,8 @@ object EncodeJob {
     val t0 = System.nanoTime()
     val chunks = TableEncoder.encode(shredded, specs, cfg.strideRows,
       cfg.chunkTargetBytes, partIdOffset = offset, aligned = cfg.alignedEncoding,
-      compression = cfg.compression, segmented = cfg.segmented)
+      compression = cfg.compression, segmented = cfg.segmented,
+      bloomColumns = cfg.bloomColumns)
     // Overwrite into the batch-scoped dir: a replay of a half-written
     // batch replaces the orphan files instead of appending duplicates
     writeChunks(chunks, cfg, batchId)
@@ -269,7 +274,7 @@ object EncodeJob {
           else shredded.filter(pmod(spark_partition_id(), lit(cfg.commitBatches)) === b)
         val chunks = TableEncoder.encode(batchDf, specs, cfg.strideRows, cfg.chunkTargetBytes,
           aligned = cfg.alignedEncoding, compression = cfg.compression,
-          segmented = cfg.segmented)
+          segmented = cfg.segmented, bloomColumns = cfg.bloomColumns)
         // Overwrite into the batch dir — replays of an uncommitted batch
         // replace its orphan files; the manifest append below is the
         // commit point

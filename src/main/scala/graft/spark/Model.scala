@@ -43,7 +43,13 @@ final case class EncodedChunk(
     // value-decoded, not just never row-materialized. stride_null_counts
     // makes each stride's segment set self-contained to decode.
     seg_lens: Option[Map[String, Seq[Int]]] = None,
-    stride_null_counts: Option[Seq[Int]] = None)
+    stride_null_counts: Option[Seq[Int]] = None,
+    // Chunk-level Bloom filter over the column's non-null values
+    // (graft.core.Bloom, opt-in per column): equality pruning on
+    // unsorted high-cardinality columns where min/max ranges prune
+    // nothing. The reference's never-implemented Protocol/BloomFilter.cs
+    // stub, actually built.
+    bloom: Option[Array[Byte]] = None)
 
 /** Per-partition lineage + metrics row, the manifest/commit-log analogue
   * of the reference's Footer/Metadata tail (OrcWriter.cs:57-98). A

@@ -159,6 +159,12 @@ object TableEncoder {
     var rows = 0
     var rawBytes = 0L
     val present = new graft.core.BoolBuf(1024) // primitive: no boxing in the hot path
+    // opt-in chunk-level bloom filter (string/long-family columns)
+    protected var bloomB: graft.core.Bloom.Builder = null
+    def enableBloom(): Unit = bloomB = new graft.core.Bloom.Builder
+    def bloomBytes: Option[Array[Byte]] =
+      if (bloomB == null || bloomB.count == 0) None
+      else Some(graft.core.Bloom.serialize(bloomB.build()))
     def add(row: Row, i: Int): Unit
     def encode(aligned: Boolean): ColumnStreams
     def minMax: (Option[String], Option[String])
@@ -167,7 +173,10 @@ object TableEncoder {
       * double/float sortable bits, string prefix longs).
       */
     def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = (None, None)
-    def clear(): Unit = { rows = 0; rawBytes = 0L; present.clear() }
+    def clear(): Unit = {
+      rows = 0; rawBytes = 0L; present.clear()
+      if (bloomB != null) bloomB.clear()
+    }
 
     /** Segmented encode: one independently-decodable ColumnStreams per
       * index stride, plus per-stride null counts. Each subclass encodes a
@@ -217,6 +226,7 @@ object TableEncoder {
         if (v < mn) mn = v
         if (v > mx) mx = v
         strides.addValue(v, v)
+        if (bloomB != null) bloomB.addLong(v)
         val prev = sum
         sum += v
         // overflow-checked sum like LongWriterStatistics.cs:9-76
@@ -513,6 +523,7 @@ object TableEncoder {
         if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
         if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
         strides.addValue(stringPrefixFloor(v), stringPrefixCeil(v))
+        if (bloomB != null) bloomB.addBytes(v)
         rawBytes += v.length
       }
       strides.addRow()
@@ -590,16 +601,21 @@ object TableEncoder {
              indexStrideRows: Int = DefaultIndexStrideRows,
              aligned: Boolean = false,
              compression: String = graft.core.BlockCompression.Zlib,
-             segmented: Boolean = false): Dataset[EncodedChunk] = {
+             segmented: Boolean = false,
+             bloomColumns: Set[String] = Set.empty): Dataset[EncodedChunk] = {
     val spark = shredded.sparkSession
     import spark.implicits._
     val specsB = spark.sparkContext.broadcast(specs)
+    val bloomB = spark.sparkContext.broadcast(bloomColumns.map(_.toLowerCase))
     val withPid = shredded.withColumn("__pid", spark_partition_id())
     val pidIdx = specs.length
 
     withPid.mapPartitions { rows =>
       val sp = specsB.value
       val bufs = sp.map(newBuf(_, indexStrideRows))
+      sp.indices.foreach { i =>
+        if (bloomB.value.contains(sp(i).name.toLowerCase)) bufs(i).enableBloom()
+      }
       var pid = -1
       var chunkId = 0
       var firstRow = 0L
@@ -637,7 +653,8 @@ object TableEncoder {
           indexStrideRows, sMins, sMaxs,
           compression = Some(compression),
           seg_lens = Some(segLens.result()),
-          stride_null_counts = Some(nullsPer.toSeq))
+          stride_null_counts = Some(nullsPer.toSeq),
+          bloom = bufs(i).bloomBytes)
       }
 
       def flush(): Iterator[EncodedChunk] = {
@@ -657,7 +674,8 @@ object TableEncoder {
                 bufs(i).rawBytes, zstreams.valuesIterator.map(_.length.toLong).sum, mn, mx,
                 bufs(i).sumVal,
                 if (sMins.isDefined) indexStrideRows else 0, sMins, sMaxs,
-                compression = Some(compression))
+                compression = Some(compression),
+                bloom = bufs(i).bloomBytes)
             }
           }.toArray
           firstRow += rowsInChunk
@@ -886,6 +904,61 @@ object TableEncoder {
       s"$column is ${spec.logical}; decimal-string stats exist only for decimal128 columns")
     val Array(p, s) = spec.narrow.split(',').map(_.toInt)
     decodePrunedTyped(chunks, specs, spec.name, lit(lo), lit(hi), DecimalType(p, s))
+  }
+
+  /** Point-lookup prune on a string column: a chunk is decoded only when
+    * the value lies within its [min,max] AND its bloom filter (when
+    * written — encode's bloomColumns) does not reject it; the prefix
+    * stride index then skips sub-chunk. On an unsorted high-cardinality
+    * column the range test keeps everything and the bloom carries the
+    * whole prune — the content-addressed-read shape (url/text equality)
+    * min/max stats can't serve.
+    */
+  def decodePrunedEqualsString(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                               column: String, value: String): DataFrame = {
+    val spec = subsetSpecs(specs, Seq(column)).head
+    require(spec.logical == "string", s"$column is ${spec.logical}, not string")
+    val bytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val (h1, h2) = graft.core.Bloom.hashPair(bytes)
+    decodePrunedEqualsImpl(chunks, specs, spec.name, lit(value), StringType, h1, h2,
+      Some((spec.name, stringPrefixFloor(bytes), stringPrefixCeil(bytes))))
+  }
+
+  /** Long-family point-lookup prune (bloom over the shredded long value —
+    * for decimals pass the scaled mantissa, for dates epoch days).
+    */
+  def decodePrunedEqualsLong(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                             column: String, value: Long): DataFrame = {
+    val spec = subsetSpecs(specs, Seq(column)).head
+    val longFamily = Set("long", "timestamp", "timestamp_ntz", "date", "decimal")
+    require(longFamily.contains(spec.logical), s"$column is ${spec.logical}, not long-family")
+    val (h1, h2) = graft.core.Bloom.hashPairLong(value)
+    decodePrunedEqualsImpl(chunks, specs, spec.name, lit(value), LongType, h1, h2,
+      Some((spec.name, value, value)))
+  }
+
+  private def decodePrunedEqualsImpl(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                                     colName: String, v: Column, statType: DataType,
+                                     h1: Long, h2: Long,
+                                     stridePrune: Option[(String, Long, Long)]): DataFrame = {
+    import chunks.sparkSession.implicits._
+    // metadata-only keep pass like decodePrunedTyped: range test on the
+    // stats strings plus a bloom rejection test over the (small) bloom
+    // blobs; absent/null stats or bloom keep the chunk (conservative)
+    val bloomRejects = udf { (b: Array[Byte]) =>
+      b != null && !graft.core.Bloom.deserialize(b).mightContain(h1, h2)
+    }
+    val overlap = coalesce(
+      !(col("max_val").try_cast(statType.sql) < v.cast(statType) ||
+        col("min_val").try_cast(statType.sql) > v.cast(statType)),
+      lit(true)) && !bloomRejects(col("bloom"))
+    val keep = chunks.toDF()
+      .filter(col("column") === colName && overlap)
+      .select("part_id", "chunk_id")
+    val pruned = chunks
+      .join(org.apache.spark.sql.functions.broadcast(keep), Seq("part_id", "chunk_id"), "left_semi")
+      .as[EncodedChunk]
+    decode(pruned, specs, stridePrune)
   }
 
   private def decodePrunedTyped(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],

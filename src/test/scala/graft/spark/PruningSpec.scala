@@ -304,6 +304,45 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloom equality pruning skips chunks min/max range stats cannot (unsorted column)") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    // UNSORTED high-cardinality keys: every chunk's [min,max] spans the
+    // whole domain, so range pruning keeps everything — only the bloom
+    // can reject chunks
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 20000).map(i => (i.toLong, s"key-${rng.nextLong()}-$i"))
+    val df = rows.toDF("id", "k").repartition(8)
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      strideRows = 1000, segmented = true, bloomColumns = Set("k", "id")).persist()
+    val totalChunks = chunks.filter(col("column") === "k").count()
+    assert(totalChunks >= 8, s"need many chunks, got $totalChunks")
+
+    val target = rows(12345)._2
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePrunedEqualsString(chunks, specs, "k", target), specs).persist()
+    // correctness: the matching row survives, the filter gives exactly it
+    val exact = decoded.filter(col("k") === target).collect()
+    assert(exact.map(_.getLong(0)).toSeq == Seq(12345L))
+    // pruning power: only ~1 chunk (+ rare FPs) of 20 was decoded
+    assert(decoded.count() <= 3 * 1000,
+      s"bloom kept ${decoded.count()} rows of 20000 — no chunk-level rejection")
+    decoded.unpersist()
+
+    // long-family variant
+    val decodedL = TableEncoder.unshred(
+      TableEncoder.decodePrunedEqualsLong(chunks, specs, "id", 777L), specs)
+    assert(decodedL.filter(col("id") === 777).count() == 1)
+
+    // a column WITHOUT a bloom written keeps chunks conservatively on a
+    // miss (no silent drops) — absent value still yields zero matches
+    val miss = TableEncoder.unshred(
+      TableEncoder.decodePrunedEqualsString(chunks, specs, "k", "absent-value"), specs)
+    assert(miss.filter(col("k") === "absent-value").count() == 0)
+    chunks.unpersist()
+  }
+
   test("byte columns route through ByteRLE and carry sum stats") {
     val df = spark.range(0, 3000)
       .select(col("id"), (col("id") % 100).cast("byte").as("b"))
