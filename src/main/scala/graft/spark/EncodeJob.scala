@@ -114,22 +114,41 @@ object EncodeJob {
     else spark.read.parquet(manifestDir(outDir)).select("batch_id").distinct().as[Int].collect().toSet
   }
 
-  /** Pin per-string-column codec decisions from a bounded UNIFORM sample.
+  /** Pin per-string-column codec decisions from a bounded sample drawn
+    * across the WHOLE input, not `limit(n)`'s head read: input clustered
+    * by the very key the job salts on (web crawls arrive lang-ordered)
+    * would pin a codec fit to the head's one language under a head read.
     *
-    * `takeSample` (seeded) draws `sampleRows` rows uniformly from the
-    * whole input, not `limit(n)`'s head read: input clustered by the very
-    * key the job salts on (web crawls arrive lang-ordered) would pin a
-    * codec fit to the head's one language under a head read. The cost is
-    * one narrow pass over just the string columns (projection reaches the
-    * source scan) — paid once per job, against codec decisions that bind
-    * for the entire output.
+    * Sampling is a seeded per-partition reservoir — ONE narrow pass over
+    * just the string columns (projection reaches the source scan), no
+    * count job (`takeSample` runs one), driver memory bounded at
+    * sampleRows rows. Each partition contributes an equal share, which
+    * slightly over-weights small partitions — irrelevant for codec
+    * selection, which needs representative value SHAPES, not unbiased
+    * frequencies.
     */
   def pinStringCodecs(df: DataFrame, sampleRows: Int): Map[String, String] = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     if (stringCols.isEmpty) return Map.empty
     // narrow scan over just the string columns; pruning reaches the source
     val narrow = df.select(stringCols.map(col).toIndexedSeq: _*)
-    val sample = narrow.rdd.takeSample(withReplacement = false, sampleRows, seed = 42)
+    val rdd = narrow.rdd
+    val perPart = math.max(1, sampleRows / math.max(1, rdd.getNumPartitions))
+    val sample = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rng = new java.util.Random(42L * 1000003 + pid)
+      val res = new Array[org.apache.spark.sql.Row](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < perPart) res(n.toInt) = r
+        else {
+          val j = (rng.nextDouble() * (n + 1)).toLong
+          if (j < perPart) res(j.toInt) = r
+        }
+        n += 1
+      }
+      res.iterator.take(math.min(n, perPart.toLong).toInt)
+    }.collect()
     stringCols.zipWithIndex.map { case (name, i) =>
       val values = sample.iterator.filterNot(_.isNullAt(i)).map(_.getString(i)).toSeq
       name -> CodecSelector.chooseStringCodec(CodecSelector.stringStats(values))
