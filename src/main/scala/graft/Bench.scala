@@ -227,6 +227,32 @@ object Bench {
       } finally s.stop()
     }
 
+    // -------- production layout (stride-segmented) encode at local[cpus] --------
+    // EncodeJob's default since round 3; measured next to the whole-stream
+    // number so the layout's throughput/size cost is a tracked artifact
+    val (segEncSec, segEncodedBytes) = {
+      val s = session(cpus)
+      try {
+        val pages = WebGen.pages(s, benchRows, seed = 42, partitions = cpus * 3).toDF()
+        val codecs = EncodeJob.pinStringCodecs(pages, 5000)
+        val specs = TableEncoder.columnSpecs(pages.schema, codecs)
+        val shredded = TableEncoder.shred(pages, specs)
+        var enc = 0L
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          enc = TableEncoder.encode(shredded, specs, segmented = true)
+            .agg(sum(col("encoded_bytes"))).first().getLong(0)
+          (System.nanoTime() - t0) / 1e9
+        }
+        pass() // warm
+        val t0 = System.nanoTime()
+        pages.select(sum(length(col("text")) + octet_length(col("html")))).first()
+        val gen = (System.nanoTime() - t0) / 1e9
+        val sec = math.min(pass(), pass())
+        (math.max(0.001, sec - gen), enc)
+      } finally s.stop()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val perLevel = levels.map { l =>
@@ -248,7 +274,9 @@ object Bench {
         f""""bytes_per_doc":${encodedBytes.toDouble / benchRows}%.1f,"compression_ratio":${encodedBytes.toDouble / rawBytes}%.4f,""" +
         f""""encode_gbps${cpus}%d_zstd":${rawBytes / 1e9 / zstdEncSec}%.3f,""" +
         f""""bytes_per_doc_zstd":${zstdEncodedBytes.toDouble / benchRows}%.1f,""" +
-        f""""compression_ratio_zstd":${zstdEncodedBytes.toDouble / rawBytes}%.4f}"""
+        f""""compression_ratio_zstd":${zstdEncodedBytes.toDouble / rawBytes}%.4f,""" +
+        f""""encode_gbps${cpus}%d_seg":${rawBytes / 1e9 / segEncSec}%.3f,""" +
+        f""""bytes_per_doc_seg":${segEncodedBytes.toDouble / benchRows}%.1f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":$encodeJson}""")
   }

@@ -160,5 +160,21 @@ class CompressionParitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(oursComparable <= refComparable,
       s"our $oursComparable B > reference $refComparable B")
+
+    // the PRODUCTION layout (stride-segmented blobs, EncodeJob's default)
+    // must hold the size gate too: per-stride compression framing and
+    // per-stride dictionaries/FSST tables cost a little ratio — assert
+    // the total stays ≤ the reference's
+    val segChunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      segmented = true)
+    val segSizes = segChunks.collect().groupBy(_.column).map { case (c, cs) =>
+      c -> cs.map(_.encoded_bytes).sum
+    }
+    val segComparable = referenceSizes.keys.map(c => segSizes.getOrElse(c, 0L)).sum
+    println(f"TOTAL (comparable, segmented) ours=$segComparable ref=$refComparable " +
+      f"ratio=${segComparable.toDouble / refComparable}%.3f " +
+      f"(+${(segComparable - oursComparable).toDouble / oursComparable * 100}%.2f%% vs whole-stream)")
+    assert(segComparable <= refComparable,
+      s"segmented $segComparable B > reference $refComparable B")
   }
 }
