@@ -301,6 +301,13 @@ object SparkEntry {
           probeBits = 1, tables = 2)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(5)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10,
+          nlist = 32, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
     "q_embed_neardup" -> ((s, dir) => {
       // plant scaled copies (cosine exactly 1.0 to the original) so the
       // bucket-join + verify pipeline provably recalls them

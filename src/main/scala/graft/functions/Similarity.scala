@@ -118,6 +118,137 @@ object Similarity {
     * query the work is |probes| bucket lookups against a bucket-hashed
     * corpus, not a corpus scan.
     */
+  // ---------- IVF (inverted-file) ANN ----------
+
+  /** Normalize to unit length (zero vectors pass through). */
+  private def unit(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
+  }
+
+  private def dotF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** Indexes of the `nProbe` centroids with the largest dot product
+    * against the (normalized) vector — the cells a query scans.
+    */
+  def nearestCells(centroids: Array[Array[Float]], v: Array[Float], nProbe: Int): Array[Int] = {
+    val u = unit(v)
+    val scored = centroids.indices.map(i => (dotF(centroids(i), u), i))
+    scored.sortBy { case (d, i) => (-d, i) }.take(math.min(nProbe, centroids.length))
+      .map(_._2).toArray
+  }
+
+  /** Spherical k-means coarse quantizer trained on a bounded seeded
+    * per-partition reservoir sample — driver-side Lloyd iterations over
+    * ≤ sampleRows vectors (nlist × sample × dim flops per iteration, ms
+    * at these sizes), deterministic, no stored model: like the
+    * hash-derived LSH planes, the index is reproducible from (seed,
+    * corpus) alone. Empty cells re-seed from the sample.
+    */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+                        sampleRows: Int = 10000, iterations: Int = 5,
+                        seed: Long = 42): Array[Array[Float]] = {
+    val rdd = corpus.select(col(vecCol)).rdd
+    val perPart = math.max(1, sampleRows / math.max(1, rdd.getNumPartitions))
+    val sample: Array[Array[Float]] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rng = new java.util.Random(seed * 1000003 + pid)
+      val res = new Array[Array[Float]](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(0)) {
+          val v = r.getAs[scala.collection.Seq[Float]](0).toArray
+          if (n < perPart) res(n.toInt) = v
+          else {
+            val j = (rng.nextDouble() * (n + 1)).toLong
+            if (j < perPart) res(j.toInt) = v
+          }
+          n += 1
+        }
+      }
+      res.iterator.take(math.min(n, perPart.toLong).toInt)
+    }.collect()
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    val normed = sample.map(unit)
+    val k = math.min(nlist, normed.length)
+    val rng = new java.util.Random(seed)
+    val centroids = Array.tabulate(k)(_ => normed(rng.nextInt(normed.length)).clone())
+    val dim = normed(0).length
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      normed.foreach { v =>
+        var best = 0
+        var bestD = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val d = dotF(centroids(c), v)
+          if (d > bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) == 0) centroids(c) = normed(rng.nextInt(normed.length)).clone()
+        else centroids(c) = unit(Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat))
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: the coarse quantizer partitions the corpus
+    * into nlist cells (each vector in exactly ONE cell); a query scans
+    * only its nProbe nearest cells. The classic scale path where brute
+    * force is unaffordable and the data clusters geometrically (LSH's
+    * data-independent planes can't adapt to cluster structure; IVF's
+    * centroids do — complementary recall/cost trades). Scale shape: one
+    * small centroid broadcast, assignment a narrow map, candidates =
+    * ~nProbe/nlist of the corpus per query, bounded-heap top-k; no
+    * dedup needed (cells are disjoint, probes distinct).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int = 10, nlist: Int = 64, nProbe: Int = 4,
+              sampleRows: Int = 10000, iterations: Int = 5,
+              seed: Long = 42): DataFrame = {
+    require(nlist >= 1 && nProbe >= 1 && nProbe <= nlist,
+      s"need 1 <= nProbe <= nlist, got nProbe=$nProbe nlist=$nlist")
+    val spark = corpus.sparkSession
+    val centroids = trainIvfCentroids(corpus, vecCol, nlist, sampleRows, iterations, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: scala.collection.Seq[Float]) =>
+      if (v == null) -1 else nearestCells(bc.value, v.toArray, 1)(0)
+    }
+    val probesUdf = udf { (v: scala.collection.Seq[Float]) =>
+      if (v == null) Array.empty[Int] else nearestCells(bc.value, v.toArray, nProbe)
+    }
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__cell", assignUdf(col(vecCol)))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__cell", explode(probesUdf(col("__qvec"))))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
+    val grouped = scored.groupBy(col("query_id"))
+      .agg(topKByScore(col("cosine"), col(idCol).cast("long"), k).as("__top"))
+    explodeTopK(grouped, idCol)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int = 10, planes: Int = 8, probeBits: Int = 1,

@@ -76,6 +76,24 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi >= 0.5, s"Hamming-1 ×2-table recall too low: $multi (single-probe was $single)")
   }
 
+  test("IVF top-k: recall vs brute force rises with nProbe, full probe is near-exact") {
+    val q = embeddings.orderBy("vec_id").limit(8)
+    val exact = Similarity.bruteForceTopK(embeddings, q, "vec_id", "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(embeddings, q, "vec_id", "embedding", "vec_id",
+        k = 5, nlist = 16, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val narrow = recallOf(1)
+    val wide = recallOf(8)
+    val full = recallOf(16) // probing every cell scans the whole corpus → exact
+    assert(wide >= narrow, s"recall fell with more probes: $narrow -> $wide")
+    assert(wide >= 0.5, s"nProbe=8/16 recall $wide too low")
+    assert(full == 1.0, s"full-probe IVF must equal brute force, got $full")
+  }
+
   test("minhash near-dup finds planted near-duplicates") {
     val base = docs.select("doc_id", "text")
     val planted = base.filter(col("doc_id") < 10).select(
