@@ -128,16 +128,24 @@ object Bench {
     // the round's hard perf signal — two full passes over the sorted
     // list, min per query
     val qnames = SparkEntry.queries.toSeq.sortBy(_._1)
-    val qbest = scala.collection.mutable.Map[String, Double]()
+    val qbest = scala.collection.mutable.Map[String, Double]()  // successful passes only
+    val qfail = scala.collection.mutable.Map[String, Double]()  // fallback when no pass succeeds
     (1 to 2).foreach { _ =>
       qnames.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        qbest(name) = math.min(qbest.getOrElse(name, Double.MaxValue), sec)
+        // a fast FAILED pass must never undercut a real measurement —
+        // min only over successes; failures recorded separately so an
+        // always-failing query still reports a number (like the old
+        // single-pass behavior) rather than crashing the artifact
+        if (ok) qbest(name) = math.min(qbest.getOrElse(name, Double.MaxValue), sec)
+        else qfail(name) = math.min(qfail.getOrElse(name, Double.MaxValue), sec)
       }
     }
-    val results = qnames.map { case (name, _) => name -> qbest(name) }
+    val results = qnames.map { case (name, _) =>
+      name -> qbest.getOrElse(name, qfail(name))
+    }
 
     spark.stop()
 

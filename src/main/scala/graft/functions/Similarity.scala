@@ -157,26 +157,10 @@ object Similarity {
   def trainIvfCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
                         sampleRows: Int = 10000, iterations: Int = 5,
                         seed: Long = 42): Array[Array[Float]] = {
-    val rdd = corpus.select(col(vecCol)).rdd
-    val perPart = math.max(1, sampleRows / math.max(1, rdd.getNumPartitions))
-    val sample: Array[Array[Float]] = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rng = new java.util.Random(seed * 1000003 + pid)
-      val res = new Array[Array[Float]](perPart)
-      var n = 0L
-      while (it.hasNext) {
-        val r = it.next()
-        if (!r.isNullAt(0)) {
-          val v = r.getAs[scala.collection.Seq[Float]](0).toArray
-          if (n < perPart) res(n.toInt) = v
-          else {
-            val j = (rng.nextDouble() * (n + 1)).toLong
-            if (j < perPart) res(j.toInt) = v
-          }
-          n += 1
-        }
-      }
-      res.iterator.take(math.min(n, perPart.toLong).toInt)
-    }.collect()
+    val vecs = corpus.select(col(vecCol)).rdd.flatMap { r =>
+      if (r.isNullAt(0)) None else Some(r.getAs[scala.collection.Seq[Float]](0).toArray)
+    }
+    val sample = graft.spark.Sampling.reservoirSample(vecs, sampleRows, seed)
     require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
     val normed = sample.map(unit)
     val k = math.min(nlist, normed.length)
@@ -197,8 +181,12 @@ object Similarity {
           c += 1
         }
         counts(best) += 1
+        // ragged dims (a truncated embedding is a realistic data-quality
+        // defect): sum only the overlap, like dotF — never index past a
+        // short vector
         var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        val lim = math.min(dim, v.length)
+        while (i < lim) { sums(best)(i) += v(i); i += 1 }
       }
       var c = 0
       while (c < k) {

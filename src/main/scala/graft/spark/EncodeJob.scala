@@ -132,23 +132,7 @@ object EncodeJob {
     if (stringCols.isEmpty) return Map.empty
     // narrow scan over just the string columns; pruning reaches the source
     val narrow = df.select(stringCols.map(col).toIndexedSeq: _*)
-    val rdd = narrow.rdd
-    val perPart = math.max(1, sampleRows / math.max(1, rdd.getNumPartitions))
-    val sample = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rng = new java.util.Random(42L * 1000003 + pid)
-      val res = new Array[org.apache.spark.sql.Row](perPart)
-      var n = 0L
-      while (it.hasNext) {
-        val r = it.next()
-        if (n < perPart) res(n.toInt) = r
-        else {
-          val j = (rng.nextDouble() * (n + 1)).toLong
-          if (j < perPart) res(j.toInt) = r
-        }
-        n += 1
-      }
-      res.iterator.take(math.min(n, perPart.toLong).toInt)
-    }.collect()
+    val sample = Sampling.reservoirSample(narrow.rdd, sampleRows, seed = 42L)
     stringCols.zipWithIndex.map { case (name, i) =>
       val values = sample.iterator.filterNot(_.isNullAt(i)).map(_.getString(i)).toSeq
       name -> CodecSelector.chooseStringCodec(CodecSelector.stringStats(values))
@@ -389,16 +373,26 @@ object EncodeJob {
 
   /** True when the chunk table was written with partitionByColumn
     * (column=<name> dirs under the batch dirs) — a filesystem listing,
-    * no data or parquet-footer reads.
+    * no data or parquet-footer reads. A layout is fixed per output dir
+    * (the writer's Config decides it once), so the answer is cached
+    * process-wide: on an object store the two-level LIST per readBack
+    * would otherwise cost hundreds of calls across batches.
     */
+  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def isColumnPartitioned(spark: SparkSession, outDir: String): Boolean = {
+    val cached = layoutCache.get(outDir)
+    if (cached != null) return cached.booleanValue()
     val dir = new org.apache.hadoop.fs.Path(chunkDir(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(dir) && fs.listStatus(dir).exists { batch =>
+    if (!fs.exists(dir)) return false // not cached: the dir may appear later
+    val result = fs.listStatus(dir).exists { batch =>
       batch.isDirectory && batch.getPath.getName.startsWith("batch=") &&
         fs.listStatus(batch.getPath).exists(c =>
           c.isDirectory && c.getPath.getName.startsWith("column="))
     }
+    layoutCache.put(outDir, java.lang.Boolean.valueOf(result))
+    result
   }
 
   /** Shuffle-based decode: one exchange moves each chunk group to a

@@ -240,7 +240,11 @@ object TableEncoder {
     override protected def beginSlices(): Unit = { snap = values.toArray }
     protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
                               v0: Int, v1: Int): ColumnStreams = {
-      val vals = java.util.Arrays.copyOfRange(snap, v0, v1)
+      // whole-span slice = the snapshot itself (whole-stream encode() and
+      // single-stride chunks): encoders never mutate their input, so skip
+      // the second full copy
+      val vals = if (v0 == 0 && v1 == snap.length) snap
+                 else java.util.Arrays.copyOfRange(snap, v0, v1)
       codecTag match {
         case "timestamp" => ColumnCodec.encodeTimestamp(vals, pres, aligned)
         case "date"      => ColumnCodec.encodeDate(vals, pres, aligned)
@@ -293,7 +297,9 @@ object TableEncoder {
     override protected def beginSlices(): Unit = { snap = values.toArray }
     protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
                               v0: Int, v1: Int): ColumnStreams =
-      ColumnCodec.encodeBool(java.util.Arrays.copyOfRange(snap, v0, v1), pres)
+      ColumnCodec.encodeBool(
+        if (v0 == 0 && v1 == snap.length) snap
+        else java.util.Arrays.copyOfRange(snap, v0, v1), pres)
     def encode(aligned: Boolean): ColumnStreams = {
       beginSlices()
       encodeSlice(aligned, present.toArray, 0, values.length)
@@ -385,7 +391,9 @@ object TableEncoder {
     override protected def beginSlices(): Unit = { snap = values.toArray }
     protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
                               v0: Int, v1: Int): ColumnStreams =
-      ColumnCodec.encodeDouble(java.util.Arrays.copyOfRange(snap, v0, v1), pres)
+      ColumnCodec.encodeDouble(
+        if (v0 == 0 && v1 == snap.length) snap
+        else java.util.Arrays.copyOfRange(snap, v0, v1), pres)
     def encode(aligned: Boolean): ColumnStreams = {
       beginSlices()
       encodeSlice(aligned, present.toArray, 0, values.length)
@@ -428,7 +436,9 @@ object TableEncoder {
     override protected def beginSlices(): Unit = { snap = values.toArray }
     protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
                               v0: Int, v1: Int): ColumnStreams =
-      ColumnCodec.encodeFloat(java.util.Arrays.copyOfRange(snap, v0, v1), pres)
+      ColumnCodec.encodeFloat(
+        if (v0 == 0 && v1 == snap.length) snap
+        else java.util.Arrays.copyOfRange(snap, v0, v1), pres)
     def encode(aligned: Boolean): ColumnStreams = {
       beginSlices()
       encodeSlice(aligned, present.toArray, 0, values.length)
@@ -738,7 +748,8 @@ object TableEncoder {
     * (on the shuffle path) the network bytes for unrequested columns.
     */
   def decodeColumns(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
-                    columns: Seq[String], ignoreMissing: Boolean = false): DataFrame = {
+                    columns: Seq[String], ignoreMissing: Boolean = false,
+                    missingTypes: Map[String, DataType] = Map.empty): DataFrame = {
     import chunks.sparkSession.implicits._
     if (!ignoreMissing) {
       val subset = subsetSpecs(specs, columns)
@@ -748,16 +759,26 @@ object TableEncoder {
     } else {
       // schema-evolution read (the reference reader's ignoreMissingColumns
       // tolerance, OrcReader.cs:49-64): requested columns absent from the
-      // written specs come back as null string columns in request order,
-      // instead of failing the whole read
+      // written specs come back as null columns in request order instead
+      // of failing the whole read. The null columns take the type the
+      // caller's evolved schema declares in `missingTypes` (StringType
+      // when unspecified) so the result unions cleanly with newer chunks.
       val found = columns.filter(n => specs.exists(_.name.equalsIgnoreCase(n)))
-      val subset = subsetSpecs(specs, found)
-      val filtered = chunks.filter(col("column").isInCollection(subset.map(_.name))).as[EncodedChunk]
-      val decoded = decode(filtered, subset)
+      // all requested columns missing: the tolerant contract still owes
+      // one all-null row per written row — decode any one written column
+      // to drive the row count, then project it away
+      val driveSpecs =
+        if (found.nonEmpty) subsetSpecs(specs, found)
+        else Array(specs.head)
+      val filtered = chunks.filter(col("column").isInCollection(driveSpecs.map(_.name))).as[EncodedChunk]
+      val decoded = decode(filtered, driveSpecs)
+      def missingType(n: String): DataType =
+        missingTypes.collectFirst { case (k, t) if k.equalsIgnoreCase(n) => t }
+          .getOrElse(StringType)
       val out = columns.map { n =>
-        subset.find(_.name.equalsIgnoreCase(n)) match {
-          case Some(s) => col(s.name)
-          case None    => lit(null).cast(StringType).as(n)
+        driveSpecs.find(_.name.equalsIgnoreCase(n)) match {
+          case Some(s) if found.exists(_.equalsIgnoreCase(n)) => col(s.name)
+          case _ => lit(null).cast(missingType(n)).as(n)
         }
       }
       decoded.select(out.toIndexedSeq: _*)

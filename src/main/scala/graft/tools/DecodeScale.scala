@@ -45,7 +45,10 @@ object DecodeScale {
           try {
             val specs = EncodeJob.specsFromManifest(s, tmp,
               WebGen.pages(s, 1, 42, 1).toDF().schema)
-            if (round == 1) EncodeJob.readBackColocated(s, tmp, specs).count() // warm
+            // warm EVERY round's fresh session (scheduler, footers, plan)
+            // so later rounds are real candidates for the min, not cold
+            // startup samples
+            EncodeJob.readBackColocated(s, tmp, specs).count()
             val t0 = System.nanoTime()
             val n = EncodeJob.readBackColocated(s, tmp, specs).count()
             val sec = (System.nanoTime() - t0) / 1e9

@@ -292,12 +292,21 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = (0 until 500).map(i => (i.toLong, s"t$i")).toDF("id", "t")
     val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
     val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs)
-    // a column added to the target schema that old chunks lack
+    // a column added to the target schema that old chunks lack — typed
+    // per the evolved schema so it unions cleanly with newer data
     val out = TableEncoder.decodeColumns(chunks, specs, Seq("id", "added_later"),
-      ignoreMissing = true)
+      ignoreMissing = true,
+      missingTypes = Map("added_later" -> org.apache.spark.sql.types.LongType))
     assert(out.schema.fieldNames.toSeq == Seq("id", "added_later"))
+    assert(out.schema("added_later").dataType == org.apache.spark.sql.types.LongType)
     assert(out.count() == 500)
     assert(out.filter(col("added_later").isNotNull).count() == 0)
+    // ALL requested columns missing: still one all-null row per written
+    // row (the reference's ignoreMissingColumns returns rows)
+    val allMissing = TableEncoder.decodeColumns(chunks, specs, Seq("added_later"),
+      ignoreMissing = true)
+    assert(allMissing.count() == 500)
+    assert(allMissing.filter(col("added_later").isNotNull).count() == 0)
     // without the flag, unknown columns still throw (typo protection)
     intercept[IllegalArgumentException] {
       TableEncoder.decodeColumns(chunks, specs, Seq("id", "added_later"))
