@@ -288,6 +288,16 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(read(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "q_simhash_neardup" -> ((s, dir) => {
+      // plant near-identical docs (one word altered, ids offset by 1e6):
+      // each planted pair must surface with a small hamming distance
+      val docs = read(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 8)"), lit(" altered")).as("text"))
+      Dedup.simhashNearDuplicates(docs.union(planted), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
     "q_ann_cosine" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
       val queries = emb.orderBy("vec_id").limit(5)

@@ -165,6 +165,44 @@ object Dedup {
     voted.select(col(idCol), sig.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs via 4×16-bit band buckets. Pigeonhole:
+    * two signatures at Hamming distance ≤ 3 differ in at most 3 of the 4
+    * bands, so they MATCH on at least one band — candidate generation is
+    * exact (recall 1.0 at the signature level) and bucket-join shaped,
+    * no all-pairs. Verification is a codegen'd popcount of the XOR on
+    * the candidate pairs; signatures (8 bytes) ride the join, so no
+    * second corpus pass. Hot buckets capped like the MinHash path (a
+    * degenerate all-identical corpus lands in one bucket).
+    *
+    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming.
+    */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3,
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band LSH is exact only to Hamming 3, got $maxHamming")
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val banded = sigs.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "bits")))
+      // read twice + hot-bucket count; the signature aggregation above is
+      // worth computing once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cool = dropHotBuckets(banded, Seq("band", "bits"), maxBucketSize)
+    val pairs = cool.alias("a")
+      .join(cool.alias("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .localCheckpoint(true)
+    banded.unpersist()
+    pairs
+  }
+
   /** n-gram Jaccard similarity between two text columns (pairwise
     * expression — for verification and small candidate sets).
     */

@@ -139,6 +139,32 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byFp == byText, s"fingerprint dedup diverged: ${byFp.size} vs ${byText.size} kept")
   }
 
+  test("simhash near-dup: planted single-word edits surface; identical docs at hamming 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rng = new scala.util.Random(17)
+    val words = Array("alpha", "beta", "gamma", "delta", "web", "page", "crawl",
+      "content", "token", "corpus", "filter", "train", "model", "data", "text", "lang")
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.fill(200)(words(rng.nextInt(words.length))).mkString(" "))
+    }
+    // planted: one word replaced → a handful of vote flips at most
+    val near = base.take(25).map { case (id, t) =>
+      val toks = t.split(" ")
+      toks(100) = "REPLACED"
+      (id + 1000, toks.mkString(" "))
+    }
+    // and 5 byte-identical copies → hamming exactly 0
+    val same = base.slice(30, 35).map { case (id, t) => (id + 2000, t) }
+    val df = (base ++ near ++ same).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sameRecall = (30 until 35).count(i => pairs.get((i.toLong, i.toLong + 2000)).contains(0))
+    assert(sameRecall == 5, s"identical copies must pair at hamming 0, got $sameRecall/5")
+    val nearRecall = (0 until 25).count(i => pairs.contains((i.toLong, i.toLong + 1000))) / 25.0
+    assert(nearRecall >= 0.8, s"single-word-edit recall $nearRecall < 0.8")
+  }
+
   test("simhash: near-identical texts get near-identical signatures") {
     val base = docs.select("doc_id", "text").limit(20)
     val twisted = base.select((col("doc_id") + 1000).as("doc_id"),
