@@ -70,6 +70,14 @@ object Bloom {
       addBytes(b)
     }
     def count: Int = hashes.length / 2
+    /** Pre-sizing hash pairs, for partial-aggregate merge/serialization. */
+    def hashPairs: Array[Long] = hashes.toArray
+    def addPair(h1: Long, h2: Long): Unit = { hashes.add(h1); hashes.add(h2) }
+    def mergeFrom(other: Builder): Unit = {
+      val hs = other.hashPairs
+      var i = 0
+      while (i < hs.length) { hashes.add(hs(i)); i += 1 }
+    }
     def build(fpp: Double = DefaultFpp): Bloom = {
       val n = math.max(1, count)
       // m = -n·ln(p)/ln(2)^2 bits, k = m/n·ln(2)

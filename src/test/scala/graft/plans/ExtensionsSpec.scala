@@ -88,6 +88,31 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) Project") && plan.contains("cosine_similarity"))
   }
 
+  test("bloom_agg/bloom_contains: group sketches probe correctly in SQL") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    (0 until 2000).map(i => (i % 4, s"url-$i")).toDF("g", "url")
+      .createOrReplaceTempView("ext_urls")
+    spark.sql("SELECT g, bloom_agg(url) AS bf FROM ext_urls GROUP BY g")
+      .createOrReplaceTempView("ext_blooms")
+    // every member url probes TRUE against its own group's sketch
+    val misses = spark.sql(
+      """SELECT count(*) AS n FROM ext_urls u JOIN ext_blooms b ON u.g = b.g
+        |WHERE NOT bloom_contains(b.bf, u.url)""".stripMargin).first().getLong(0)
+    assert(misses == 0, s"$misses false negatives")
+    // non-members mostly probe FALSE (fpp ~5%)
+    val fps = spark.sql(
+      """SELECT count(*) AS n FROM ext_urls u JOIN ext_blooms b ON u.g = b.g
+        |WHERE bloom_contains(b.bf, concat(u.url, '-absent'))""".stripMargin).first().getLong(0)
+    assert(fps < 2000 * 0.15, s"$fps of 2000 false positives")
+    // long inputs work too
+    val longOk = spark.sql(
+      """SELECT bloom_contains(bloom_agg(id), 7L) AS hit,
+        |       bloom_contains(bloom_agg(id), 99999L) AS miss
+        |FROM (SELECT cast(id AS long) AS id FROM range(0, 100))""".stripMargin).first()
+    assert(longOk.getBoolean(0) && !longOk.getBoolean(1))
+  }
+
   test("imperative registration works on a plain session") {
     val plain = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false")
