@@ -395,6 +395,23 @@ object EncodeJob {
     result
   }
 
+  /** Point-lookup read: bloom + range + stride pruning on `column`
+    * before any stream blob is touched (see
+    * TableEncoder.decodePrunedEqualsString). Callers still apply the
+    * exact equality filter on the result — pruning returns a superset.
+    */
+  def readBackEquals(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
+                     column: String, value: String): DataFrame =
+    TableEncoder.unshred(
+      TableEncoder.decodePrunedEqualsString(committedChunks(spark, outDir), specs, column, value),
+      specs)
+
+  def readBackEqualsLong(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
+                         column: String, value: Long): DataFrame =
+    TableEncoder.unshred(
+      TableEncoder.decodePrunedEqualsLong(committedChunks(spark, outDir), specs, column, value),
+      specs)
+
   /** Shuffle-based decode: one exchange moves each chunk group to a
     * single task. Always correct regardless of file layout; the fallback
     * when `colocatedLayoutOk` is false.

@@ -141,6 +141,22 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pages.exceptAll(decoded).count() == 0)
   }
 
+  test("readBackEquals: bloom point lookup through the job surface") {
+    val pages = WebGen.pages(spark, 6000, seed = 91, partitions = 4).toDF()
+    val out = s"$tmp/bloomjob"
+    val result = EncodeJob.run(pages,
+      EncodeJob.Config(out, 8, Some("lang"), strideRows = 500,
+        bloomColumns = Set("url")))
+    val target = pages.orderBy("url").limit(1).collect()(0).getString(pages.columns.indexOf("url"))
+    val pruned = EncodeJob.readBackEquals(spark, out, result.specs, "url", target)
+    val hit = pruned.filter(col("url") === target)
+    assert(hit.count() == 1)
+    // urls are unsorted within salted partitions → range stats keep all
+    // 8+ chunks; the bloom must reject most of them
+    assert(pruned.count() < 6000 / 2,
+      s"bloom kept ${pruned.count()} of 6000 rows — no pruning through the job surface")
+  }
+
   test("codec pinning is order-independent: lang-sorted input pins the same codecs as shuffled") {
     val pages = WebGen.pages(spark, 6000, seed = 55, partitions = 4).toDF()
     // a head read of the lang-sorted input would see one language only;
