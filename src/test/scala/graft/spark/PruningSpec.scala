@@ -352,6 +352,39 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("degenerate inputs: empty, single-row, and all-null columns round trip") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val schemaDf = Seq((1L, Option("x"), Option(1.5))).toDF("id", "s", "d")
+    val specs = TableEncoder.columnSpecs(schemaDf.schema, Map.empty)
+
+    // empty input: no chunks, decode yields an empty frame of the right schema
+    val empty = schemaDf.filter(col("id") < 0)
+    val emptyChunks = TableEncoder.encode(TableEncoder.shred(empty, specs), specs, segmented = true)
+    assert(emptyChunks.count() == 0)
+    val emptyOut = TableEncoder.unshred(TableEncoder.decode(emptyChunks, specs), specs)
+    assert(emptyOut.count() == 0 && emptyOut.schema.fieldNames.toSeq == Seq("id", "s", "d"))
+
+    // single row (stride 1-of-1, segmented)
+    val one = Seq((7L, Option("only"), Option(2.25))).toDF("id", "s", "d")
+    val oneChunks = TableEncoder.encode(TableEncoder.shred(one, specs), specs, segmented = true)
+    val oneOut = TableEncoder.unshred(TableEncoder.decode(oneChunks, specs), specs)
+    assert(oneOut.collect().toSeq == one.collect().toSeq)
+
+    // a fully-null column (PRESENT all-false; no values in any stride)
+    val nulls = (0 until 5000).map(i =>
+      (i.toLong, None: Option[String], None: Option[Double])).toDF("id", "s", "d")
+    val nullChunks = TableEncoder.encode(TableEncoder.shred(nulls, specs), specs,
+      indexStrideRows = 700, segmented = true)
+    val nullOut = TableEncoder.unshred(TableEncoder.decode(nullChunks, specs), specs)
+    assert(nullOut.count() == 5000)
+    assert(nullOut.filter(col("s").isNotNull || col("d").isNotNull).count() == 0)
+    // and range-pruning the all-null column keeps rows (sentinel strides)
+    val prunedNull = TableEncoder.unshred(
+      TableEncoder.decodePrunedDouble(nullChunks, specs, "d", 0.0, 1.0), specs)
+    assert(prunedNull.count() == 5000, "all-null strides must be kept, never dropped")
+  }
+
   test("byte columns route through ByteRLE and carry sum stats") {
     val df = spark.range(0, 3000)
       .select(col("id"), (col("id") % 100).cast("byte").as("b"))
