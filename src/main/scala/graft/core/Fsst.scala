@@ -51,6 +51,30 @@ object Fsst {
       }
       t
     }
+
+    /** Slot-indexed probe data: the hot loop previously chased
+      * longTable(h) → symLen(idx) → symLong(idx) → lenMask(len), four
+      * DEPENDENT loads per position; these parallel arrays make a probe
+      * (w & slotMask(h)) == slotPattern(h) — two independent loads and
+      * one compare — with empty slots encoded as an impossible pattern
+      * (mask 0, pattern 1) so no emptiness branch exists at all.
+      * slotCodeLen packs (code << 8 | len) for the match fast path.
+      */
+    private[Fsst] val slotMask: Array[Long] = new Array[Long](HashSlots)
+    private[Fsst] val slotPattern: Array[Long] = Array.fill(HashSlots)(1L)
+    private[Fsst] val slotCodeLen: Array[Int] = new Array[Int](HashSlots)
+    locally {
+      var h = 0
+      while (h < HashSlots) {
+        val i = longTable(h)
+        if (i >= 0) {
+          slotMask(h) = lenMask(symLen(i))
+          slotPattern(h) = symLong(i)
+          slotCodeLen(h) = (i << 8) | symLen(i)
+        }
+        h += 1
+      }
+    }
     private[Fsst] val byteCodes: Array[Int] = {
       val t = Array.fill(256)(-1)
       var i = 0
@@ -215,10 +239,12 @@ object Fsst {
       while (j >= 0) { w = (w << 8) | (data(pos + j) & 0xffL); j -= 1 }
     }
     if (avail >= 3) {
-      val idx = table.longTable(hash3(w & 0xffffffL))
-      if (idx >= 0) {
-        val len = table.symLen(idx)
-        if (len <= avail && (w & lenMask(len)) == table.symLong(idx)) return idx
+      val h = hash3(w & 0xffffffL)
+      if ((w & table.slotMask(h)) == table.slotPattern(h)) {
+        val cl = table.slotCodeLen(h)
+        // len ≤ avail guards a symbol with trailing 0x00 bytes matching a
+        // zero-padded short window
+        if ((cl & 0xff) <= avail) return cl >>> 8
       }
     }
     if (avail >= 2) {
@@ -237,15 +263,16 @@ object Fsst {
     var o = out.length
     var pos = 0
     val fastEnd = data.length - MaxSymbolLen // full 8-byte loads safe through here
-    val longTable = table.longTable
+    val slotMask = table.slotMask
+    val slotPattern = table.slotPattern
+    val slotCodeLen = table.slotCodeLen
     val shortCodes = table.shortCodes
-    val symLen = table.symLen
-    val symLong = table.symLong
     while (pos <= fastEnd) {
       val w = LongView.get(data, pos).asInstanceOf[Long]
-      val idx = longTable(hash3(w & 0xffffffL))
-      if (idx >= 0 && (w & lenMask(symLen(idx))) == symLong(idx)) {
-        dst(o) = idx.toByte; o += 1; pos += symLen(idx)
+      val h = hash3(w & 0xffffffL)
+      if ((w & slotMask(h)) == slotPattern(h)) { // empty slots can never match
+        val cl = slotCodeLen(h)
+        dst(o) = (cl >>> 8).toByte; o += 1; pos += cl & 0xff
       } else {
         val s = shortCodes((w & 0xffffL).toInt) // fused 2-byte/1-byte/escape
         if (s >= 0) { dst(o) = (s >>> 1).toByte; o += 1; pos += 2 - (s & 1) }
@@ -254,7 +281,7 @@ object Fsst {
     }
     while (pos < data.length) { // tail: windows shorter than 8 bytes
       val m = matchAt(table, data, pos)
-      if (m >= 0) { dst(o) = m.toByte; o += 1; pos += symLen(m) }
+      if (m >= 0) { dst(o) = m.toByte; o += 1; pos += table.symLen(m) }
       else {
         dst(o) = EscapeCode.toByte; dst(o + 1) = data(pos); o += 2
         pos += 1
