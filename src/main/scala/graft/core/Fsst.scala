@@ -291,16 +291,27 @@ object Fsst {
   }
 
   def decompress(table: SymbolTable, data: Array[Byte], from: Int, until: Int, out: ByteBuf): Unit = {
+    // worst case MaxSymbolLen bytes out per code; +8 slack lets every
+    // symbol be written as ONE unconditional 8-byte LE store (the packed
+    // symLong) with the cursor advanced by the true length — no
+    // per-symbol byte loop or bounds checks in the hot path
+    out.reserve((until - from) * MaxSymbolLen + 8)
+    val dst = out.unsafeArray
+    var o = out.length
+    val symLong = table.symLong
+    val symLen = table.symLen
     var pos = from
     while (pos < until) {
       val code = data(pos) & 0xff
       pos += 1
       if (code == EscapeCode) {
-        out.writeByte(data(pos) & 0xff)
+        dst(o) = data(pos); o += 1
         pos += 1
       } else {
-        out.writeBytes(table.symbols(code))
+        LongView.set(dst, o, symLong(code))
+        o += symLen(code)
       }
     }
+    out.unsafeSetLength(o)
   }
 }
