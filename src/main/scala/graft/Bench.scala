@@ -208,6 +208,33 @@ object Bench {
     val decodeSecQuarter = decodeBest(math.max(1, cpus / 4))
     val decodeSecSixteenth = decodeBest(math.max(1, cpus / 16))
 
+    // decode of the zstd fast-mode output at local[cpus]: per-core decode
+    // is inflate-bound on the zlib layout (ProfileDecode: zlib+FSST 283
+    // MB/s vs 1.3 GB/s FSST alone single-thread), so the fast mode's
+    // read side is a first-class metric
+    val decodeZstdSec = {
+      val tmpOut = java.nio.file.Files.createTempDirectory("graft-bench-zstd").toString
+      locally {
+        val s = session(cpus)
+        try {
+          val pages = WebGen.pages(s, benchRows, seed = 42, partitions = cpus * 3).toDF()
+          EncodeJob.run(pages, EncodeJob.Config(tmpOut, cpus * 3, Some("lang"),
+            compression = graft.core.BlockCompression.Zstd))
+        } finally s.stop()
+      }
+      val s = session(cpus)
+      try {
+        val specs = EncodeJob.specsFromManifest(s, tmpOut,
+          WebGen.pages(s, 1, seed = 42, partitions = 1).toDF().schema)
+        EncodeJob.readBackColocated(s, tmpOut, specs).count() // warm
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          EncodeJob.readBackColocated(s, tmpOut, specs).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } finally s.stop()
+    }
+
     // -------- fast-mode compression (zstd) at local[cpus] --------
     // zlib is the reference-parity default; zstd is the 100 TB fast mode.
     // Same pipeline shape as encodeOnce: gen timed separately, min of 2.
@@ -284,7 +311,9 @@ object Bench {
         f""""bytes_per_doc_zstd":${zstdEncodedBytes.toDouble / benchRows}%.1f,""" +
         f""""compression_ratio_zstd":${zstdEncodedBytes.toDouble / rawBytes}%.4f,""" +
         f""""encode_gbps${cpus}%d_seg":${rawBytes / 1e9 / segEncSec}%.3f,""" +
-        f""""bytes_per_doc_seg":${segEncodedBytes.toDouble / benchRows}%.1f}"""
+        f""""bytes_per_doc_seg":${segEncodedBytes.toDouble / benchRows}%.1f,""" +
+        f""""decode_sec${cpus}%d_zstd":$decodeZstdSec%.2f,""" +
+        f""""decode_gbps${cpus}%d_zstd":${rawBytes / 1e9 / math.max(0.001, decodeZstdSec)}%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":$encodeJson}""")
   }
