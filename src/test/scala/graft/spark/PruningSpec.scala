@@ -385,6 +385,41 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prunedNull.count() == 5000, "all-null strides must be kept, never dropped")
   }
 
+  test("fuzz: segmented and whole-stream layouts decode identically on random data") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    val rng = new scala.util.Random(20260817)
+    (0 until 3).foreach { trial =>
+      val n = 3000 + rng.nextInt(4000)
+      val nullEvery = 2 + rng.nextInt(9)
+      val rows = (0 until n).map { i =>
+        def maybe[T](v: T): Option[T] = if ((i + trial) % nullEvery == 0) None else Some(v)
+        (i.toLong,
+          maybe(rng.nextLong()),
+          maybe(rng.nextInt(1 << rng.nextInt(30))),
+          maybe(rng.nextDouble() * math.pow(10, rng.nextInt(8)) - 5000),
+          maybe(rng.nextFloat() * 100 - 50),
+          maybe(rng.nextBoolean()),
+          maybe(rng.alphanumeric.take(rng.nextInt(40)).mkString),
+          maybe(Array.fill(rng.nextInt(30))(rng.nextInt().toByte)))
+      }
+      val df = rows.toDF("id", "v_long", "v_int", "v_double", "v_float", "v_bool", "v_str", "v_bin")
+      val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+      val stride = 1 << (7 + rng.nextInt(4)) // 128..1024
+      val shredded = TableEncoder.shred(df, specs)
+      val seg = TableEncoder.unshred(TableEncoder.decode(
+        TableEncoder.encode(shredded, specs, indexStrideRows = stride, segmented = true),
+        specs), specs)
+      val whole = TableEncoder.unshred(TableEncoder.decode(
+        TableEncoder.encode(shredded, specs, indexStrideRows = stride),
+        specs), specs)
+      assert(seg.exceptAll(whole).count() == 0, s"trial $trial: segmented ⊄ whole")
+      assert(whole.exceptAll(seg).count() == 0, s"trial $trial: whole ⊄ segmented")
+      assert(seg.exceptAll(df).count() == 0 && df.exceptAll(seg).count() == 0,
+        s"trial $trial: round trip differs from input")
+    }
+  }
+
   test("byte columns route through ByteRLE and carry sum stats") {
     val df = spark.range(0, 3000)
       .select(col("id"), (col("id") % 100).cast("byte").as("b"))
