@@ -363,13 +363,25 @@ object EncodeJob {
     * shuffled).
     */
   def readBack(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
-               columns: Option[Seq[String]] = None): DataFrame =
-    // a column-partitioned layout can never satisfy the colocated
-    // invariant (each file holds ONE column's chunks), so skip the
-    // metadata probe entirely — detected from the directory listing alone
-    if (!isColumnPartitioned(spark, outDir) && colocatedLayoutOk(spark, outDir, specs))
-      readBackColocated(spark, outDir, specs, columns)
-    else readBackShuffled(spark, outDir, specs, columns)
+               columns: Option[Seq[String]] = None): DataFrame = columns match {
+    // single-column subset: every chunk row is a COMPLETE group, so the
+    // adjacency grouper is trivially satisfied under any file layout —
+    // no shuffle, no layout probe, and on a column-partitioned layout
+    // the filter prunes every other column's files at the scan
+    case Some(cols) if cols.size == 1 =>
+      import spark.implicits._
+      val subset = TableEncoder.subsetSpecs(specs, cols)
+      val one = committedChunks(spark, outDir)
+        .filter(col("column") === subset.head.name).as[EncodedChunk]
+      TableEncoder.unshred(TableEncoder.decodeSequential(one, subset), subset)
+    case _ =>
+      // a column-partitioned layout can never satisfy the colocated
+      // invariant (each file holds ONE column's chunks), so skip the
+      // metadata probe entirely — detected from the directory listing alone
+      if (!isColumnPartitioned(spark, outDir) && colocatedLayoutOk(spark, outDir, specs))
+        readBackColocated(spark, outDir, specs, columns)
+      else readBackShuffled(spark, outDir, specs, columns)
+  }
 
   /** True when the chunk table was written with partitionByColumn
     * (column=<name> dirs under the batch dirs) — a filesystem listing,

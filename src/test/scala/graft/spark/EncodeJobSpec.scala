@@ -141,6 +141,21 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pages.exceptAll(decoded).count() == 0)
   }
 
+  test("single-column readBack is shuffle-free on BOTH layouts") {
+    val pages = WebGen.pages(spark, 3000, seed = 101, partitions = 4).toDF()
+    for ((byCol, sub) <- Seq((false, "rowlayout-1col"), (true, "collayout-1col"))) {
+      val out = s"$tmp/$sub"
+      val result = EncodeJob.run(pages,
+        EncodeJob.Config(out, 4, Some("lang"), partitionByColumn = byCol))
+      val one = EncodeJob.readBack(spark, out, result.specs, Some(Seq("url")))
+      assert(one.schema.fieldNames.toSeq == Seq("url"))
+      assert(!one.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"single-column read plan contains a shuffle (partitionByColumn=$byCol)")
+      val expected = pages.select("url").orderBy("url").collect().toSeq
+      assert(one.orderBy("url").collect().toSeq == expected)
+    }
+  }
+
   test("readBackEquals: bloom point lookup through the job surface") {
     val pages = WebGen.pages(spark, 6000, seed = 91, partitions = 4).toDF()
     val out = s"$tmp/bloomjob"
