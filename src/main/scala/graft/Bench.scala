@@ -194,7 +194,12 @@ object Bench {
           try {
             val specs = EncodeJob.specsFromManifest(s, tmpOut,
               WebGen.pages(s, 1, seed = 42, partitions = 1).toDF().schema)
-            if (round == 1) EncodeJob.readBackColocated(s, tmpOut, specs).count() // JIT warm
+            // warm EVERY round's fresh session (scheduler/footers/plan),
+            // not just round 1 — otherwise later rounds measure cold
+            // session startup and the min degenerates to one sample
+            // (same fix as DecodeScale; also keeps this number
+            // methodology-comparable with the zstd decode block below)
+            EncodeJob.readBackColocated(s, tmpOut, specs).count()
             val t0 = System.nanoTime()
             n = EncodeJob.readBackColocated(s, tmpOut, specs).count()
             best(lvl) = math.min(best.getOrElse(lvl, Double.MaxValue),

@@ -106,6 +106,49 @@ object Bloom {
     def clear(): Unit = hashes.clear()
   }
 
+  /** Fixed-size builder for unbounded-group aggregation (the SQL
+    * bloom_agg surface): bits are set directly into a bitset sized from
+    * `expected` distinct values up front, so the aggregation buffer is
+    * CONSTANT-size and two partial buffers merge with a bitwise OR —
+    * unlike [[Builder]], whose pair list grows with the input (right for
+    * chunk encoding, where chunk size bounds it; an OOM hazard for a
+    * 100M-row SQL group). If the true cardinality far exceeds
+    * `expected`, the fpp degrades gracefully — the standard sized-sketch
+    * trade, never false negatives.
+    */
+  final class FixedBuilder(expected: Int, fpp: Double = DefaultFpp) {
+    private val m = math.ceil(-math.max(1, expected) * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+    private val numWords = math.max(1, ((m + 63) / 64)).toInt
+    val k: Int = math.max(1, math.round(
+      numWords * 64.0 / math.max(1, expected) * math.log(2)).toInt)
+    val words = new Array[Long](numWords)
+    private val numBits = numWords.toLong * 64
+    private def insert(h1: Long, h2: Long): Unit = {
+      var i = 0
+      var h = h1
+      while (i < k) {
+        val bit = (h & Long.MaxValue) % numBits
+        words((bit >>> 6).toInt) |= 1L << (bit & 63)
+        h += h2
+        i += 1
+      }
+    }
+    def addBytes(v: Array[Byte]): Unit =
+      insert(xxh64(v, 0, v.length, 0x9747b28cL), xxh64(v, 0, v.length, 0x5bd1e995L))
+    def addLong(v: Long): Unit = {
+      val (h1, h2) = hashPairLong(v)
+      insert(h1, h2)
+    }
+    def or(other: FixedBuilder): Unit = {
+      require(other.words.length == words.length && other.k == k,
+        "cannot OR bloom builders of different sizes")
+      var i = 0
+      while (i < words.length) { words(i) |= other.words(i); i += 1 }
+    }
+    def build(): Bloom = new Bloom(words, k)
+  }
+
   def serialize(b: Bloom): Array[Byte] = {
     val out = new ByteBuf(b.words.length * 8 + 8)
     b.serialize(out)

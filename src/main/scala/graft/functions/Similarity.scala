@@ -147,6 +147,24 @@ object Similarity {
       .map(_._2).toArray
   }
 
+  /** Allocation-free argmax for the corpus-side assignment — the widest
+    * loop in ivfTopK runs this once per vector, where the sort-based
+    * nearestCells(.., 1) would box and sort all nlist centroids per row.
+    * Ties break to the lowest index, matching nearestCells' ordering.
+    */
+  def nearestCell(centroids: Array[Array[Float]], v: Array[Float]): Int = {
+    val u = unit(v)
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val d = dotF(centroids(c), u)
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Spherical k-means coarse quantizer trained on a bounded seeded
     * per-partition reservoir sample — driver-side Lloyd iterations over
     * ≤ sampleRows vectors (nlist × sample × dim flops per iteration, ms
@@ -220,7 +238,7 @@ object Similarity {
     val centroids = trainIvfCentroids(corpus, vecCol, nlist, sampleRows, iterations, seed)
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: scala.collection.Seq[Float]) =>
-      if (v == null) -1 else nearestCells(bc.value, v.toArray, 1)(0)
+      if (v == null) -1 else nearestCell(bc.value, v.toArray)
     }
     val probesUdf = udf { (v: scala.collection.Seq[Float]) =>
       if (v == null) Array.empty[Int] else nearestCells(bc.value, v.toArray, nProbe)

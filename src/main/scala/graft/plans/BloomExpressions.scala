@@ -2,22 +2,31 @@ package graft.plans
 
 import graft.core.Bloom
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** SQL surface for the chunk-level bloom filter: `bloom_agg(value)`
-  * builds a serialized filter per group (string/binary/integer inputs),
-  * `bloom_contains(bloom, value)` probes one. The same build/probe hash
-  * path as the encode-side chunk blooms, so SQL users can pre-compute
-  * membership sketches over arbitrary groupings (per partition, per day,
-  * per host) and probe them without touching the engine API.
+/** SQL surface for bloom filters: `bloom_agg(value[, expected])` builds a
+  * serialized filter per group (string/binary/integer inputs),
+  * `bloom_contains(bloom, value)` probes one.
+  *
+  * Scale shape: the aggregation buffer is a FIXED-size bitset
+  * (Bloom.FixedBuilder) sized from `expected` distinct values (default
+  * 100k) — partial buffers are constant-size and merge with a bitwise
+  * OR, so a 100M-row group costs the same buffer as a 100-row one
+  * (over-cardinality degrades fpp, never correctness). The serialized
+  * value carries a one-byte TYPE TAG ('B' for byte-hashed
+  * binary/string, 'L' for long-hashed integers) and bloom_contains
+  * rejects a mismatched probe type instead of silently hashing the
+  * wrong representation into a false negative.
   */
-case class BloomAgg(child: Expression,
+case class BloomAgg(child: Expression, expected: Int = BloomAgg.DefaultExpected,
                     mutableAggBufferOffset: Int = 0,
                     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Bloom.Builder] {
+    extends TypedImperativeAggregate[Bloom.FixedBuilder] {
+
+  require(expected > 0, "bloom_agg expected-cardinality must be positive")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -31,41 +40,54 @@ case class BloomAgg(child: Expression,
         s"bloom_agg expects binary/string/long/int, got $dt")
     }
 
-  override def createAggregationBuffer(): Bloom.Builder = new Bloom.Builder
+  private def typeTag: Byte = child.dataType match {
+    case BinaryType | StringType  => BloomAgg.TagBytes
+    case LongType | IntegerType   => BloomAgg.TagLong
+    case other                    => throw new IllegalStateException(other.toString)
+  }
 
-  override def update(b: Bloom.Builder, input: InternalRow): Bloom.Builder = {
+  override def createAggregationBuffer(): Bloom.FixedBuilder =
+    new Bloom.FixedBuilder(expected)
+
+  override def update(b: Bloom.FixedBuilder, input: InternalRow): Bloom.FixedBuilder = {
     val v = child.eval(input)
     if (v != null) child.dataType match {
-      case BinaryType => b.addBytes(v.asInstanceOf[Array[Byte]])
-      case StringType => b.addBytes(v.asInstanceOf[UTF8String].getBytes)
-      case LongType   => b.addLong(v.asInstanceOf[Long])
+      case BinaryType  => b.addBytes(v.asInstanceOf[Array[Byte]])
+      case StringType  => b.addBytes(v.asInstanceOf[UTF8String].getBytes)
+      case LongType    => b.addLong(v.asInstanceOf[Long])
       case IntegerType => b.addLong(v.asInstanceOf[Int].toLong)
-      case other      => throw new IllegalStateException(other.toString)
+      case other       => throw new IllegalStateException(other.toString)
     }
     b
   }
 
-  override def merge(a: Bloom.Builder, b: Bloom.Builder): Bloom.Builder = {
-    a.mergeFrom(b)
+  override def merge(a: Bloom.FixedBuilder, b: Bloom.FixedBuilder): Bloom.FixedBuilder = {
+    a.or(b)
     a
   }
 
-  override def eval(b: Bloom.Builder): Any = Bloom.serialize(b.build())
+  override def eval(b: Bloom.FixedBuilder): Any = {
+    val body = Bloom.serialize(b.build())
+    val out = new Array[Byte](body.length + 1)
+    out(0) = typeTag
+    System.arraycopy(body, 0, out, 1, body.length)
+    out
+  }
 
-  override def serialize(b: Bloom.Builder): Array[Byte] = {
-    val hs = b.hashPairs
-    val bb = java.nio.ByteBuffer.allocate(4 + hs.length * 8)
-    bb.putInt(hs.length)
-    hs.foreach(bb.putLong)
+  override def serialize(b: Bloom.FixedBuilder): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.words.length * 8)
+    bb.putInt(b.words.length)
+    b.words.foreach(bb.putLong)
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Bloom.Builder = {
+  override def deserialize(bytes: Array[Byte]): Bloom.FixedBuilder = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
-    val b = new Bloom.Builder
+    val b = new Bloom.FixedBuilder(expected)
+    require(b.words.length == n, s"bloom buffer size mismatch: ${b.words.length} vs $n")
     var i = 0
-    while (i < n) { b.addPair(bb.getLong(), bb.getLong()); i += 2 }
+    while (i < n) { b.words(i) = bb.getLong(); i += 1 }
     b
   }
 
@@ -76,8 +98,15 @@ case class BloomAgg(child: Expression,
   override def prettyName: String = "bloom_agg"
 }
 
+object BloomAgg {
+  final val DefaultExpected = 100000
+  final val TagBytes: Byte = 'B'
+  final val TagLong: Byte = 'L'
+}
+
 /** bloom_contains(bloomBytes, value) — true when the filter might contain
-  * the value (definite-no is exact; yes has the build-time fpp). The last
+  * the value (definite-no is exact; yes has the build-time fpp). Rejects
+  * probe types that mismatch the filter's build-type tag. The last
   * deserialized filter is memoized by blob identity, so probing a
   * broadcast/constant bloom pays one parse, not one per row.
   */
@@ -103,16 +132,26 @@ case class BloomContains(left: Expression, right: Expression)
 
   override def nullSafeEval(b: Any, v: Any): Any = {
     val blob = b.asInstanceOf[Array[Byte]]
+    require(blob.length >= 1, "not a bloom_agg value: empty blob")
+    val tag = blob(0)
+    val probeTag = right.dataType match {
+      case BinaryType | StringType => BloomAgg.TagBytes
+      case _                       => BloomAgg.TagLong
+    }
+    require(tag == probeTag,
+      s"bloom_contains type mismatch: filter built over ${if (tag == BloomAgg.TagLong) "integers" else "strings/bytes"}, " +
+        s"probed with ${right.dataType.simpleString} — the hash representations differ, which would " +
+        "silently produce false negatives")
     if (!(blob eq lastBlob)) {
-      lastBloom = Bloom.deserialize(blob)
+      lastBloom = Bloom.deserialize(java.util.Arrays.copyOfRange(blob, 1, blob.length))
       lastBlob = blob
     }
     val (h1, h2) = right.dataType match {
-      case BinaryType => Bloom.hashPair(v.asInstanceOf[Array[Byte]])
-      case StringType => Bloom.hashPair(v.asInstanceOf[UTF8String].getBytes)
-      case LongType   => Bloom.hashPairLong(v.asInstanceOf[Long])
+      case BinaryType  => Bloom.hashPair(v.asInstanceOf[Array[Byte]])
+      case StringType  => Bloom.hashPair(v.asInstanceOf[UTF8String].getBytes)
+      case LongType    => Bloom.hashPairLong(v.asInstanceOf[Long])
       case IntegerType => Bloom.hashPairLong(v.asInstanceOf[Int].toLong)
-      case other      => throw new IllegalStateException(other.toString)
+      case other       => throw new IllegalStateException(other.toString)
     }
     java.lang.Boolean.valueOf(lastBloom.mightContain(h1, h2))
   }

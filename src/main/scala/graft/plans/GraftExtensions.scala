@@ -34,7 +34,10 @@ object GraftExtensions {
     "lz4_block" -> { args: Seq[Expression] => Lz4BlockExpr(args.head) },
     "lz4_unblock" -> { args: Seq[Expression] => Lz4UnblockExpr(args.head) },
     "cosine_similarity" -> { args: Seq[Expression] => CosineSimilarity(args(0), args(1)) },
-    "bloom_agg" -> { args: Seq[Expression] => BloomAgg(args.head).toAggregateExpression() },
+    "bloom_agg" -> { args: Seq[Expression] =>
+      BloomAgg(args.head,
+        if (args.length > 1) intLit(args, 1, "expected") else BloomAgg.DefaultExpected)
+        .toAggregateExpression() },
     "bloom_contains" -> { args: Seq[Expression] => BloomContains(args(0), args(1)) },
     // minhash_signature(text, k, shingleSize) / hyperplane_bucket(vec, planes, table):
     // int args must be foldable literals — the plane/width choices shape the

@@ -323,6 +323,10 @@ object EncodeJob {
     val w = chunks.write.mode(SaveMode.Overwrite)
     (if (cfg.partitionByColumn) w.partitionBy("column") else w)
       .parquet(chunkBatchDir(cfg.outDir, batchId))
+    // the writer KNOWS the layout — record it so a same-JVM rewrite of an
+    // outDir with a different layout can never serve readers a stale
+    // cached answer
+    layoutCache.put(cfg.outDir, java.lang.Boolean.valueOf(cfg.partitionByColumn))
   }
 
   /** Schema back-compat for chunk parquet written by older engine

@@ -765,11 +765,17 @@ object TableEncoder {
       // when unspecified) so the result unions cleanly with newer chunks.
       val found = columns.filter(n => specs.exists(_.name.equalsIgnoreCase(n)))
       // all requested columns missing: the tolerant contract still owes
-      // one all-null row per written row — decode any one written column
-      // to drive the row count, then project it away
+      // one all-null row per written row — decode the CHEAPEST written
+      // column to drive the row count (never a multi-GB text/binary blob
+      // just for its cardinality), then project it away
       val driveSpecs =
         if (found.nonEmpty) subsetSpecs(specs, found)
-        else Array(specs.head)
+        else {
+          val cost = Map("bool" -> 0, "date" -> 1, "long" -> 2, "timestamp" -> 2,
+            "timestamp_ntz" -> 2, "decimal" -> 2, "float" -> 3, "double" -> 4,
+            "decimal128" -> 5, "string" -> 6, "binary" -> 7)
+          Array(specs.minBy(sp => cost.getOrElse(sp.logical, 9)))
+        }
       val filtered = chunks.filter(col("column").isInCollection(driveSpecs.map(_.name))).as[EncodedChunk]
       val decoded = decode(filtered, driveSpecs)
       def missingType(n: String): DataType =
