@@ -482,10 +482,21 @@ object TableEncoder {
     * these widths. Min/max stats render as plain decimal strings so
     * pruning can try_cast them to decimal/double.
     */
-  private final class Decimal128ColBuf(scale: Int) extends ColBuf {
+  /** Clamp a BigInteger mantissa into long space, rounding OUTWARD so a
+    * stride range built from clamped values always contains the true
+    * range — out-of-long-range mantissas saturate to ±Long.{Min,Max}.
+    */
+  def clampMantissa(u: java.math.BigInteger): Long =
+    if (u.bitLength >= 64) { if (u.signum < 0) Long.MinValue else Long.MaxValue }
+    else u.longValueExact
+
+  private final class Decimal128ColBuf(scale: Int, indexStride: Int) extends ColBuf {
     private val values = new ArrayBuffer[java.math.BigInteger]()
     private var mn: java.math.BigInteger = null
     private var mx: java.math.BigInteger = null
+    // per-stride mantissa range in clamped-long space (order-preserving
+    // up to saturation; query bounds clamp the same way)
+    private val strides = new StrideTracker(indexStride)
     def add(row: Row, i: Int): Unit = {
       rows += 1
       if (row.isNullAt(i)) present.add(false)
@@ -495,9 +506,13 @@ object TableEncoder {
         values += u
         if (mn == null || u.compareTo(mn) < 0) mn = u
         if (mx == null || u.compareTo(mx) > 0) mx = u
+        val c = clampMantissa(u)
+        strides.addValue(c, c)
         rawBytes += 16
       }
+      strides.addRow()
     }
+    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = strides.snapshot(rows)
     protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
                               v0: Int, v1: Int): ColumnStreams =
       ColumnCodec.encodeDecimal128(values.slice(v0, v1).toArray,
@@ -508,7 +523,9 @@ object TableEncoder {
     def minMax: (Option[String], Option[String]) =
       (Option(mn).map(u => new java.math.BigDecimal(u, scale).toPlainString),
         Option(mx).map(u => new java.math.BigDecimal(u, scale).toPlainString))
-    override def clear(): Unit = { super.clear(); values.clear(); mn = null; mx = null }
+    override def clear(): Unit = {
+      super.clear(); values.clear(); mn = null; mx = null; strides.clear()
+    }
   }
 
   private final class StringColBuf(codec: String, indexStride: Int) extends ColBuf {
@@ -573,7 +590,7 @@ object TableEncoder {
     case "long"             => new LongColBuf("long", indexStride)
     case "timestamp" | "timestamp_ntz" => new LongColBuf("timestamp", indexStride)
     case "decimal"          => new LongColBuf("decimal:" + spec.narrow.split(',')(1), indexStride)
-    case "decimal128"       => new Decimal128ColBuf(spec.narrow.split(',')(1).toInt)
+    case "decimal128"       => new Decimal128ColBuf(spec.narrow.split(',')(1).toInt, indexStride)
     case "date"             => new LongColBuf("date", indexStride)
     case "bool"             => new BoolColBuf
     case "double"           => new DoubleColBuf(indexStride)
@@ -930,7 +947,13 @@ object TableEncoder {
     require(spec.logical == "decimal128",
       s"$column is ${spec.logical}; decimal-string stats exist only for decimal128 columns")
     val Array(p, s) = spec.narrow.split(',').map(_.toInt)
-    decodePrunedTyped(chunks, specs, spec.name, lit(lo), lit(hi), DecimalType(p, s))
+    // stride bounds in clamped-mantissa space, rounded OUTWARD (floor/
+    // ceiling scaling + saturating clamp) so truncation can only keep
+    // extra strides, never drop a matching one
+    val loU = clampMantissa(lo.setScale(s, java.math.RoundingMode.FLOOR).unscaledValue)
+    val hiU = clampMantissa(hi.setScale(s, java.math.RoundingMode.CEILING).unscaledValue)
+    decodePrunedTyped(chunks, specs, spec.name, lit(lo), lit(hi), DecimalType(p, s),
+      stridePrune = Some((spec.name, loU, hiU)))
   }
 
   /** Point-lookup prune on a string column: a chunk is decoded only when

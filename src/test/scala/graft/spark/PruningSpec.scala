@@ -154,6 +154,39 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("decimal128 stride index skips sub-chunk via clamped-mantissa bounds") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    // mantissas straddle the long-clamp boundary: most values stay exact
+    // in clamp space (small mantissas), the top stride's saturate to
+    // Long.MaxValue — pruning must stay sound through both regimes
+    val df = (0 until 20000).map { i =>
+      val s = if (i < 19000) s"$i.25" else s"${i}000000000000000000.25" // tail: > 2^63 mantissa
+      (i.toLong, s)
+    }.toDF("id", "s")
+      .withColumn("big", col("s").cast("decimal(38,4)")).drop("s")
+      .repartitionByRange(2, col("big")).sortWithinPartitions("big")
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    assert(specs.find(_.name == "big").get.logical == "decimal128")
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      indexStrideRows = 500, segmented = true).persist()
+
+    val lo = new java.math.BigDecimal("1000.25")
+    val hi = new java.math.BigDecimal("1200.25")
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePrunedDecimal(chunks, specs, "big", lo, hi), specs).persist()
+    val exact = decoded.filter(col("big").between(lit(lo), lit(hi)))
+    assert(exact.count() == 201, s"got ${exact.count()}") // ids 1000..1200
+    val keptChunkRows = chunks.filter(col("column") === "big" &&
+        !(col("max_val").cast("decimal(38,4)") < lit(lo) ||
+          col("min_val").cast("decimal(38,4)") > lit(hi)))
+      .agg(sum(col("row_count"))).first().getLong(0)
+    val emitted = decoded.count()
+    assert(emitted < keptChunkRows,
+      s"no sub-chunk skipping on decimal128: emitted $emitted == kept-chunk rows $keptChunkRows")
+    decoded.unpersist(); chunks.unpersist()
+  }
+
   test("pruning on a column with non-numeric stats keeps chunks (conservative), never drops them") {
     // string stats can't cast to long; the overlap predicate must
     // evaluate to KEEP, not null-drop — a silent-missing-rows bug class
