@@ -279,9 +279,12 @@ object TableEncoder {
     * min/max rendered 0/1 so boolean predicates can prune, sum = count
     * of trues.
     */
-  private final class BoolColBuf extends ColBuf {
+  private final class BoolColBuf(indexStride: Int) extends ColBuf {
     private val values = new graft.core.BoolBuf(1024)
     private var trues = 0L
+    // 0/1 stride range: an all-false stride is skippable for `= true`
+    // predicates (and vice versa) through the same long-typed row index
+    private val strides = new StrideTracker(indexStride)
     def add(row: Row, i: Int): Unit = {
       rows += 1
       if (row.isNullAt(i)) present.add(false)
@@ -289,10 +292,13 @@ object TableEncoder {
         present.add(true)
         val v = row.getBoolean(i)
         if (v) trues += 1
+        strides.addValue(if (v) 1L else 0L, if (v) 1L else 0L)
         values.add(v)
         rawBytes += 1
       }
+      strides.addRow()
     }
+    override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = strides.snapshot(rows)
     private var snap: Array[Boolean] = null
     override protected def beginSlices(): Unit = { snap = values.toArray }
     protected def encodeSlice(aligned: Boolean, pres: Array[Boolean],
@@ -308,7 +314,9 @@ object TableEncoder {
       if (values.length == 0) (None, None)
       else (Some(if (trues < values.length) "0" else "1"), Some(if (trues > 0) "1" else "0"))
     override def sumVal: Option[Long] = if (values.length == 0) None else Some(trues)
-    override def clear(): Unit = { super.clear(); values.clear(); trues = 0L; snap = null }
+    override def clear(): Unit = {
+      super.clear(); values.clear(); trues = 0L; snap = null; strides.clear()
+    }
   }
 
   /** Order-preserving map double → long (Lucene's sortableLong): stride
@@ -592,7 +600,7 @@ object TableEncoder {
     case "decimal"          => new LongColBuf("decimal:" + spec.narrow.split(',')(1), indexStride)
     case "decimal128"       => new Decimal128ColBuf(spec.narrow.split(',')(1).toInt, indexStride)
     case "date"             => new LongColBuf("date", indexStride)
-    case "bool"             => new BoolColBuf
+    case "bool"             => new BoolColBuf(indexStride)
     case "double"           => new DoubleColBuf(indexStride)
     case "float"            => new FloatColBuf(indexStride)
     case "binary"           => new BinaryColBuf
@@ -884,7 +892,7 @@ object TableEncoder {
     // string/double/float columns record prefix/sortable-bits spaces, so
     // long bounds must not be compared against them (use the typed
     // decodePruned* entry points for those)
-    val longFamily = Set("long", "timestamp", "timestamp_ntz", "date", "decimal")
+    val longFamily = Set("long", "timestamp", "timestamp_ntz", "date", "decimal", "bool")
     val stridePrune = specs.find(s => s.name.equalsIgnoreCase(column) &&
         longFamily.contains(s.logical))
       .map(s => (s.name, lo, hi))

@@ -453,6 +453,27 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bool stride index skips all-false strides for a `= true` predicate") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    // clustered by flag: only the last ~5% of rows are true
+    val df = (0 until 20000).map(i => (i.toLong, i >= 19000)).toDF("id", "flag")
+      .repartitionByRange(2, col("flag"), col("id")).sortWithinPartitions("flag", "id")
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      indexStrideRows = 500, segmented = true).persist()
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePruned(chunks, specs, "flag", 1L, 1L), specs).persist()
+    assert(decoded.filter(col("flag")).count() == 1000)
+    val keptChunkRows = chunks.filter(col("column") === "flag" &&
+        !(col("max_val").cast("long") < 1L))
+      .agg(sum(col("row_count"))).first().getLong(0)
+    val emitted = decoded.count()
+    assert(emitted < keptChunkRows,
+      s"no sub-chunk skipping on bool: emitted $emitted == kept-chunk rows $keptChunkRows")
+    decoded.unpersist(); chunks.unpersist()
+  }
+
   test("byte columns route through ByteRLE and carry sum stats") {
     val df = spark.range(0, 3000)
       .select(col("id"), (col("id") % 100).cast("byte").as("b"))
