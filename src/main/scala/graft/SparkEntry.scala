@@ -29,6 +29,25 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.parquet(s"$dir/$table.parquet")
 
+  /** Hard self-validation for the planted-truth near-dup queries: DuckDB
+    * cannot oracle LSH outputs, but the queries plant ground-truth pairs
+    * (id, id + offset) — so recall over the planted set is computed INSIDE
+    * the query and a recall below 1.0 throws, flipping the CORRECTNESS row
+    * to `err` on any regression instead of silently passing rows-only. The
+    * recall also rides the output as a column so the driver hashes it.
+    * localCheckpoint materializes the (tiny) pair set once so the recall
+    * count does not re-run the LSH pipeline.
+    */
+  private def withPlantedRecall(pairs: DataFrame, planted: Long, offset: Long): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val hits = p.filter(col("id_a") < planted && col("id_b") === col("id_a") + offset)
+      .select("id_a").distinct().count()
+    val recall = hits.toDouble / planted
+    require(recall >= 1.0,
+      f"planted near-dup recall $recall%.3f < 1.0 (only $hits of $planted planted pairs surfaced)")
+    p.withColumn("planted_recall", lit(recall))
+  }
+
   /** Flagship query on sf=0.001: full round trip of the documents table
     * through the encode/decode engine; driver smoke-checks rows>0.
     */
@@ -281,21 +300,42 @@ object SparkEntry {
       val planted = docs.filter(col("doc_id") < 20).select(
         (col("doc_id") + 1000000).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
-      Dedup.minhashNearDuplicates(docs.union(planted), "doc_id", "text",
-        k = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+      withPlantedRecall(
+        Dedup.minhashNearDuplicates(docs.union(planted), "doc_id", "text",
+          k = 32, bands = 8, shingleSize = 3, threshold = 0.5),
+        planted = 20, offset = 1000000)
         .orderBy("id_a", "id_b")
     }),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(read(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
     "q_simhash_neardup" -> ((s, dir) => {
-      // plant near-identical docs (one word altered, ids offset by 1e6):
-      // each planted pair must surface with a small hamming distance
+      // plant near-identical docs (one word altered, ids offset by 1e6).
+      // Hard gate: the 4-band LSH is pigeonhole-EXACT to signature hamming
+      // ≤ maxHamming, so every planted pair whose signatures actually land
+      // within that distance MUST surface — recall over that provable set
+      // below 1.0 throws (an edit can flip >3 signature bits, so gating on
+      // ALL planted pairs would assert more than the detector promises).
       val docs = read(s, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 20).select(
         (col("doc_id") + 1000000).as("doc_id"),
         concat(expr("substring(text, 1, length(text) - 8)"), lit(" altered")).as("text"))
-      Dedup.simhashNearDuplicates(docs.union(planted), "doc_id", "text", maxHamming = 3)
+      val union = docs.union(planted)
+      val pairs = Dedup.simhashNearDuplicates(union, "doc_id", "text", maxHamming = 3)
+        .localCheckpoint(true)
+      val sigs = Dedup.simhashSignatures(union, "doc_id", "text")
+      val guaranteed = sigs.alias("a")
+        .join(sigs.alias("b"), col("b.doc_id") === col("a.doc_id") + 1000000)
+        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+        .select(col("a.doc_id").as("id_a")).count()
+      val hits = pairs
+        .filter(col("id_a") < 20 && col("id_b") === col("id_a") + 1000000)
+        .select("id_a").distinct().count()
+      require(guaranteed >= 5,
+        s"planted construction degraded: only $guaranteed of 20 edits stay within hamming 3")
+      require(hits >= guaranteed,
+        s"simhash pigeonhole violated: $hits of $guaranteed guaranteed planted pairs surfaced")
+      pairs.withColumn("planted_recall", lit(hits.toDouble / guaranteed))
         .orderBy("id_a", "id_b")
     }),
     "q_ann_cosine" -> ((s, dir) => {
@@ -325,8 +365,10 @@ object SparkEntry {
       val planted = emb.filter(col("vec_id") < 10).select(
         (col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
-      Dedup.embeddingNearDuplicates(emb.union(planted), "vec_id", "embedding",
-        planes = 8, threshold = 0.98)
+      withPlantedRecall(
+        Dedup.embeddingNearDuplicates(emb.union(planted), "vec_id", "embedding",
+          planes = 8, threshold = 0.98),
+        planted = 10, offset = 1000000)
         .orderBy("id_a", "id_b")
     }),
     "q_multimodal_meta" -> ((s, dir) =>

@@ -98,9 +98,14 @@ object TextOps {
   def trainLangProfiles(df: DataFrame, textCol: String, langCol: String,
                         sampleRows: Int = 5000, topK: Int = 400,
                         gram: String = "char3"): Map[String, Map[String, Double]] = {
-    val sample = df.select(col(textCol), col(langCol))
-      .filter(col(textCol).isNotNull && col(langCol).isNotNull)
-      .limit(sampleRows).collect()
+    // Reservoir over the WHOLE input, not limit(n): web crawls arrive
+    // clustered by language, and a head sample would train profiles for
+    // only the first cluster's language (same flaw class as the round-3
+    // pinStringCodecs fix).
+    val sample = graft.spark.Sampling.reservoirSample(
+      df.select(col(textCol), col(langCol))
+        .filter(col(textCol).isNotNull && col(langCol).isNotNull)
+        .rdd, sampleRows, seed = 0x1a2bL)
     val global = new scala.collection.mutable.HashMap[String, Long]()
     val perLang = sample.groupBy(_.getString(1)).map { case (lang, rows) =>
       val counts = new scala.collection.mutable.HashMap[String, Long]()

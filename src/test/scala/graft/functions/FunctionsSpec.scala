@@ -214,6 +214,26 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acc > 0.7, s"langid accuracy $acc")
   }
 
+  test("language id: training on lang-CLUSTERED input covers every language") {
+    // web crawls arrive clustered by language; limit(n) training saw only
+    // the head cluster. Reservoir training must cover all languages and
+    // match shuffled-input accuracy.
+    val pages = graft.spark.WebGen.pages(spark, 3000, seed = 5, partitions = 2)
+      .toDF().select(col("text"), col("lang"))
+    val allLangs = pages.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val sorted = pages.orderBy("lang").repartitionByRange(4, col("lang"))
+    val profSorted = TextOps.trainLangProfiles(sorted, "text", "lang",
+      sampleRows = 500, gram = "word")
+    assert(profSorted.keySet == allLangs,
+      s"sorted-input training missed langs: ${allLangs -- profSorted.keySet}")
+    val accSorted = {
+      val scored = pages.select(col("lang"),
+        TextOps.langIdUdf(profSorted, gram = "word")(col("text")).as("pred"))
+      scored.filter(col("lang") === col("pred")).count().toDouble / scored.count()
+    }
+    assert(accSorted > 0.7, s"langid accuracy after sorted-input training: $accSorted")
+  }
+
   test("multimodal: metadata extraction and feature batching plumbing") {
     val blobs = docs.limit(100).select(col("doc_id"), col("text").cast("binary").as("blob"))
     val meta = blobs.select(col("doc_id"), Multimodal.extractMetaUdf(col("blob")).as("m")).collect()
