@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
-import graft.spark.{EncodeJob, TableEncoder}
+import graft.spark.{EncodeJob, OrcInterop, TableEncoder}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,20 @@ object SparkEntry {
         .withColumn("v_decimal", col("v_decimal").cast("string"))
         .withColumn("v_dec38", col("v_dec38").cast("string"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // whole-file ORC interop (the reference's primary deliverable,
+    // OrcWriter.cs:21-105 / FileTail.cs:22-54, as a product API): write a
+    // real multi-file .orc dataset with graft's encoders, read it back
+    // with graft's own tail parser + decoders. OrcInteropSpec additionally
+    // proves Spark's STOCK reader (Java orc-core) reads the same files.
+    "rt_orc_file" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val out = java.nio.file.Files.createTempDirectory("graft-orc-rt").toString
+      OrcInterop.writeOrcFiles(li.repartition(4), out, stripeRows = 20000)
+      // total order over ALL columns: (l_orderkey, l_linenumber) is not
+      // unique in the synthetic lineitem, and repartition scrambles ties
+      OrcInterop.readOrcFile(s, out).orderBy(li.columns.map(col).toIndexedSeq: _*)
     }),
 
     // stats pruning at two granularities: whole chunks whose [min,max]
@@ -420,6 +434,7 @@ object SparkEntry {
     "rt_documents" -> "SELECT * FROM documents ORDER BY doc_id",
     "rt_events" -> "SELECT * FROM events ORDER BY event_id",
     "rt_orders" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "rt_orc_file" -> "SELECT * FROM lineitem ORDER BY ALL",
     "rt_pruned" ->
       "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 ORDER BY l_orderkey, l_linenumber",
     "rt_subset" ->
