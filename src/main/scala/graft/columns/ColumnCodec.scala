@@ -231,27 +231,46 @@ object ColumnCodec {
 
   // ---------- STRING: sorted dictionary ----------
 
-  /** Dict columns are low-cardinality by selection, so the byte→String
-    * conversion here is per-VALUE cheap and keeps the reference's
-    * UTF-16-ordinal dictionary sort exactly (StringWriter.cs:187).
+  /** Dedupe on UTF-8 BYTES first: dict columns are low-cardinality by
+    * selection, so the per-ROW hot path must not allocate — the UTF-16
+    * conversion (needed only for the reference's UTF-16-ordinal dictionary
+    * sort, StringWriter.cs:187) happens once per DISTINCT value. Distinct
+    * byte sequences that decode to the same String (malformed UTF-8 →
+    * U+FFFD) still collapse to one dictionary entry, exactly as when every
+    * row was converted first.
     */
   def encodeStrBytesDict(values: Array[Array[Byte]], present: Array[Boolean],
-                         aligned: Boolean = false): ColumnStreams =
-    encodeStringDict(values.map(new String(_, StandardCharsets.UTF_8)), present, aligned)
-
-  def encodeStringDict(values: Array[String], present: Array[Boolean],
-                       aligned: Boolean = false): ColumnStreams = {
+                         aligned: Boolean = false): ColumnStreams = {
     val nullCount = countNulls(present)
-    val dict = new StringDict
+    val byteIds = new java.util.HashMap[java.nio.ByteBuffer, Integer]()
+    val distinct = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val provisionalIds = new Array[Int](values.length)
     var i = 0
-    while (i < values.length) { provisionalIds(i) = dict.add(values(i)); i += 1 }
+    while (i < values.length) {
+      val bb = java.nio.ByteBuffer.wrap(values(i))
+      val existing = byteIds.get(bb)
+      if (existing != null) provisionalIds(i) = existing.intValue()
+      else {
+        val id = distinct.length
+        byteIds.put(bb, Integer.valueOf(id))
+        distinct += values(i)
+        provisionalIds(i) = id
+      }
+      i += 1
+    }
+    val dict = new StringDict
+    val distinctIds = new Array[Int](distinct.length) // byte-id → dict-id
+    var d = 0
+    while (d < distinct.length) {
+      distinctIds(d) = dict.add(new String(distinct(d), StandardCharsets.UTF_8))
+      d += 1
+    }
     val (sortedValues, remap) = dict.freeze()
     val (dictData, dictLengths) = StringDict.serialize(sortedValues)
 
     val lookup = new Array[Long](values.length)
     i = 0
-    while (i < values.length) { lookup(i) = remap(provisionalIds(i)).toLong; i += 1 }
+    while (i < values.length) { lookup(i) = remap(distinctIds(provisionalIds(i))).toLong; i += 1 }
 
     val dataBuf = new ByteBuf(values.length)
     RleV2Writer.write(dataBuf, lookup, signed = false, aligned = aligned)
@@ -264,6 +283,10 @@ object ColumnCodec {
         Streams.Length -> lengthBuf.toArray,
         Streams.DictionaryData -> dictData), present, nullCount))
   }
+
+  def encodeStringDict(values: Array[String], present: Array[Boolean],
+                       aligned: Boolean = false): ColumnStreams =
+    encodeStrBytesDict(values.map(_.getBytes(StandardCharsets.UTF_8)), present, aligned)
 
   // ---------- STRING: FSST ----------
 

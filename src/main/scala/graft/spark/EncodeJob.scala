@@ -380,12 +380,44 @@ object EncodeJob {
       TableEncoder.unshred(TableEncoder.decodeSequential(one, subset), subset)
     case _ =>
       // a column-partitioned layout can never satisfy the colocated
-      // invariant (each file holds ONE column's chunks), so skip the
-      // metadata probe entirely — detected from the directory listing alone
-      if (!isColumnPartitioned(spark, outDir) && colocatedLayoutOk(spark, outDir, specs))
+      // invariant (each file holds ONE column's chunks) — but it has its
+      // OWN no-Exchange plan: per-column aligned scans zipped back into
+      // chunk groups (ColumnZipRead). Shuffled decode is the fallback when
+      // the zip probe finds externally rewritten files.
+      if (isColumnPartitioned(spark, outDir))
+        readBackColumnZipped(spark, outDir, specs, columns)
+          .getOrElse(readBackShuffled(spark, outDir, specs, columns))
+      else if (colocatedLayoutOk(spark, outDir, specs))
         readBackColocated(spark, outDir, specs, columns)
       else readBackShuffled(spark, outDir, specs, columns)
   }
+
+  /** Zero-shuffle read on the column-partitioned layout (see
+    * [[ColumnZipRead]]): one pinned one-file-per-partition scan per
+    * column, partitions reordered onto a common part_id order with narrow
+    * dependencies, zip-merged into whole chunk groups. The alignment
+    * probe reads only `part_id` per file (blobs untouched); None when the
+    * on-disk files violate the writer's one-file-per-(task, column)
+    * invariant — callers fall back to the shuffled decode.
+    */
+  def readBackColumnZipped(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
+                           columns: Option[Seq[String]] = None): Option[DataFrame] =
+    withPinnedSplits(spark, outDir) {
+      val effSpecs = columns.map(TableEncoder.subsetSpecs(specs, _)).getOrElse(specs)
+      def chunksOf(name: String) =
+        committedChunks(spark, outDir).filter(col("column") === name)
+          .as[EncodedChunk](org.apache.spark.sql.Encoders.product[EncodedChunk]).rdd
+      // probe plan projects (part_id) only; it shares the data scan's file
+      // listing and pinned split confs, so partition i reads the same file
+      // in both plans — and the zip re-validates ids at runtime regardless
+      def keysOf(name: String): Array[Long] =
+        committedChunks(spark, outDir).filter(col("column") === name)
+          .select("part_id").rdd
+          .mapPartitionsWithIndex((i, it) =>
+            Iterator.single((i, if (it.hasNext) it.next().getInt(0).toLong else -1L)))
+          .collect().sortBy(_._1).map(_._2)
+      ColumnZipRead.readBackColumnZipped(spark, outDir, effSpecs, chunksOf, keysOf)
+    }
 
   /** True when the chunk table was written with partitionByColumn
     * (column=<name> dirs under the batch dirs) — a filesystem listing,

@@ -879,6 +879,29 @@ object TableEncoder {
     org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, rdd, schema)
   }
 
+  /** Decode an RDD of COMPLETE chunk groups (every element carries all of
+    * one (part_id, chunk_id)'s column rows) — the column-zipped read path
+    * (EncodeJob.readBackColumnZipped) assembles groups from per-column
+    * aligned scans with narrow dependencies only, then decodes here with
+    * the same UnsafeRow emitter as the adjacency grouper.
+    */
+  private[spark] def decodeGroups(spark: SparkSession,
+                                  rdd: org.apache.spark.rdd.RDD[Array[EncodedChunk]],
+                                  specs: Array[ColumnSpec]): DataFrame = {
+    val specsB = spark.sparkContext.broadcast(specs)
+    val schema = physicalSchema(specs)
+    val out = rdd.mapPartitions { it =>
+      val sp = specsB.value
+      val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(sp.length)
+      it.flatMap { group =>
+        require(group.length == sp.length,
+          s"chunk group has ${group.length} column rows, expected ${sp.length}")
+        decodeChunkInternalRows(group.iterator.map(c => c.column -> c).toMap, sp, writer, None)
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, out, schema)
+  }
+
   /** Stats-pruned decode: skip whole chunks whose [min,max] on `column`
     * cannot overlap [lo,hi] — the point of the reference's per-stride
     * statistics (SURVEY §2.5) which its own reader never exploits. At

@@ -138,6 +138,36 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the partitioned layout still decodes exactly (shuffled path)
     val decoded = EncodeJob.readBack(spark, out, result.specs)
     assert(decoded.exceptAll(pages).count() == 0)
+
+    // ---- zero-shuffle FULL read on the column-partitioned layout ----
+    // the zipped path must engage, carry no ShuffleDependency anywhere in
+    // its lineage, and produce exactly the shuffled decode's rows
+    def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
+      val seen = scala.collection.mutable.HashSet[Int]()
+      def go(r: org.apache.spark.rdd.RDD[_]): Boolean =
+        r.dependencies.exists { d =>
+          d.isInstanceOf[org.apache.spark.ShuffleDependency[_, _, _]] ||
+            (seen.add(d.rdd.id) && go(d.rdd))
+        }
+      go(rdd)
+    }
+    val zipped = EncodeJob.readBackColumnZipped(spark, out, result.specs)
+    assert(zipped.isDefined, "zip probe rejected the writer's own layout")
+    assert(!hasShuffle(zipped.get.queryExecution.toRdd),
+      "column-zipped full read has a shuffle in its lineage")
+    val viaZip = zipped.get.select("url", "text", "lang").orderBy("url").collect().toSeq
+    val viaShuffled = EncodeJob.readBackShuffled(spark, out, result.specs)
+      .select("url", "text", "lang").orderBy("url").collect().toSeq
+    assert(viaZip == viaShuffled)
+
+    // multi-column subset keeps the no-shuffle plan too (and readBack
+    // routes through it on this layout)
+    val sub = EncodeJob.readBackColumnZipped(spark, out, result.specs, Some(Seq("url", "lang")))
+    assert(sub.isDefined && sub.get.schema.fieldNames.toSeq == Seq("url", "lang"))
+    assert(!hasShuffle(sub.get.queryExecution.toRdd))
+    assert(sub.get.orderBy("url").collect().toSeq ==
+      EncodeJob.readBackShuffled(spark, out, result.specs, Some(Seq("url", "lang")))
+        .orderBy("url").collect().toSeq)
     assert(pages.exceptAll(decoded).count() == 0)
   }
 
