@@ -237,14 +237,14 @@ object Similarity {
     val spark = corpus.sparkSession
     val centroids = trainIvfCentroids(corpus, vecCol, nlist, sampleRows, iterations, seed)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: scala.collection.Seq[Float]) =>
-      if (v == null) -1 else nearestCell(bc.value, v.toArray)
-    }
+    // query side: tiny broadcast set, a UDF is fine. Corpus side: the
+    // widest map in the query — the native IvfCell expression keeps it in
+    // WholeStageCodegen (null vector → null cell, which no probe matches)
     val probesUdf = udf { (v: scala.collection.Seq[Float]) =>
       if (v == null) Array.empty[Int] else nearestCells(bc.value, v.toArray, nProbe)
     }
     val c = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__cell", assignUdf(col(vecCol)))
+      .withColumn("__cell", graft.plans.IvfCell(col(vecCol), bc))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qvec"))
       .withColumn("__cell", explode(probesUdf(col("__qvec"))))
     val scored = c.join(broadcast(q), Seq("__cell"))

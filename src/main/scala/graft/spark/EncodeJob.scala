@@ -460,6 +460,12 @@ object EncodeJob {
       TableEncoder.decodePrunedEqualsLong(committedChunks(spark, outDir), specs, column, value),
       specs)
 
+  def readBackEqualsBinary(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
+                           column: String, value: Array[Byte]): DataFrame =
+    TableEncoder.unshred(
+      TableEncoder.decodePrunedEqualsBinary(committedChunks(spark, outDir), specs, column, value),
+      specs)
+
   /** Shuffle-based decode: one exchange moves each chunk group to a
     * single task. Always correct regardless of file layout; the fallback
     * when `colocatedLayoutOk` is false.

@@ -472,6 +472,7 @@ object TableEncoder {
         present.add(true)
         val v = row.getAs[Array[Byte]](i)
         values += v
+        if (bloomB != null) bloomB.addBytes(v)
         rawBytes += v.length
       }
     }
@@ -1003,6 +1004,19 @@ object TableEncoder {
     val (h1, h2) = graft.core.Bloom.hashPair(bytes)
     decodePrunedEqualsImpl(chunks, specs, spec.name, lit(value), StringType, h1, h2,
       Some((spec.name, stringPrefixFloor(bytes), stringPrefixCeil(bytes))))
+  }
+
+  /** Point-lookup prune on a BINARY column — content-addressed lookup of
+    * opaque bytes (html blobs, media keys). Binary columns carry no
+    * min/max (length-sum only), so the bloom filter is the ONLY prune:
+    * without one written, every chunk is conservatively kept.
+    */
+  def decodePrunedEqualsBinary(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                               column: String, value: Array[Byte]): DataFrame = {
+    val spec = subsetSpecs(specs, Seq(column)).head
+    require(spec.logical == "binary", s"$column is ${spec.logical}, not binary")
+    val (h1, h2) = graft.core.Bloom.hashPair(value)
+    decodePrunedEqualsImpl(chunks, specs, spec.name, lit(value), BinaryType, h1, h2, None)
   }
 
   /** Long-family point-lookup prune (bloom over the shredded long value —

@@ -96,6 +96,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full >= 0.98, s"full-probe IVF must match brute force, got $full")
   }
 
+  test("IVF cell assignment: native expression matches nearestCell, no UDF in the plan") {
+    val centroids = Similarity.trainIvfCentroids(embeddings, "embedding", nlist = 16)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = embeddings.limit(300).select(col("vec_id"),
+      graft.plans.IvfCell(col("embedding"), bc).as("cell"), col("embedding"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"corpus-side cell assignment is not a native expression:\n$plan")
+    assigned.collect().foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](2).toArray
+      assert(r.getInt(1) == Similarity.nearestCell(centroids, v),
+        s"vec ${r.getLong(0)}: expression cell ${r.getInt(1)} != nearestCell")
+    }
+  }
+
   test("minhash near-dup finds planted near-duplicates") {
     val base = docs.select("doc_id", "text")
     val planted = base.filter(col("doc_id") < 10).select(

@@ -385,6 +385,36 @@ class PruningSpec extends AnyFunSuite with BeforeAndAfterAll {
     chunks.unpersist()
   }
 
+  test("bloom equality pruning on a BINARY column (content-addressed blob lookup)") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    // binary columns have NO min/max stats (length-sum only), so the
+    // bloom is the only possible chunk rejection — the content-addressed
+    // html-blob lookup shape
+    val rng = new scala.util.Random(9)
+    val rows = (0 until 20000).map(i => (i.toLong, s"<html>${rng.nextLong()}-$i</html>".getBytes("UTF-8")))
+    val df = rows.toDF("id", "blob").repartition(8)
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    val chunks = TableEncoder.encode(TableEncoder.shred(df, specs), specs,
+      strideRows = 1000, segmented = true, bloomColumns = Set("blob")).persist()
+    assert(chunks.filter(col("column") === "blob").count() >= 8)
+
+    val target = rows(4321)._2
+    val decoded = TableEncoder.unshred(
+      TableEncoder.decodePrunedEqualsBinary(chunks, specs, "blob", target), specs).persist()
+    val exact = decoded.filter(col("blob") === lit(target)).collect()
+    assert(exact.map(_.getLong(0)).toSeq == Seq(4321L))
+    assert(decoded.count() <= 3 * 1000,
+      s"binary bloom kept ${decoded.count()} rows of 20000 — no chunk-level rejection")
+    decoded.unpersist()
+
+    // absent blob: zero matches, no silent drops
+    val miss = TableEncoder.unshred(
+      TableEncoder.decodePrunedEqualsBinary(chunks, specs, "blob", "nope".getBytes("UTF-8")), specs)
+    assert(miss.filter(col("blob") === lit("nope".getBytes("UTF-8"))).count() == 0)
+    chunks.unpersist()
+  }
+
   test("degenerate inputs: empty, single-row, and all-null columns round trip") {
     val stableSpark = spark
     import stableSpark.implicits._
