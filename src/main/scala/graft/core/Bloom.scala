@@ -155,6 +155,35 @@ object Bloom {
     out.toArray
   }
 
+  // ---- tagged envelope: ONE wire format for both bloom surfaces ----
+  // Chunk-level blooms (TableEncoder) and SQL bloom_agg values share this
+  // envelope: magic 'G', a one-byte hash-representation tag ('B' = hashed
+  // over value bytes, 'L' = hashed over the LE-serialized long), then the
+  // raw body. The magic makes a chunk bloom probed through SQL
+  // bloom_contains (or vice versa) parse correctly instead of reading the
+  // body's varint numHashes as a type tag; legacy untagged bodies are
+  // still accepted (tag 0 = unknown) since no varint-k filter starts with
+  // 'G' = 71 hashes.
+  final val Magic: Byte = 'G'
+  final val TagBytes: Byte = 'B'
+  final val TagLong: Byte = 'L'
+
+  def serializeTagged(b: Bloom, tag: Byte): Array[Byte] = {
+    val out = new ByteBuf(b.words.length * 8 + 10)
+    out.writeByte(Magic.toInt)
+    out.writeByte(tag.toInt)
+    b.serialize(out)
+    out.toArray
+  }
+
+  /** (tag, filter); tag 0 for legacy untagged bodies. */
+  def deserializeTagged(bytes: Array[Byte]): (Byte, Bloom) = {
+    require(bytes.length >= 2, "not a bloom value: too short")
+    if (bytes(0) == Magic)
+      (bytes(1), deserialize(java.util.Arrays.copyOfRange(bytes, 2, bytes.length)))
+    else (0, deserialize(bytes))
+  }
+
   def deserialize(bytes: Array[Byte]): Bloom = {
     val in = new BytesIn(bytes)
     val k = BitOps.readVarIntUnsigned(in).toInt

@@ -305,6 +305,10 @@ object Fsst {
       val code = data(pos) & 0xff
       pos += 1
       if (code == EscapeCode) {
+        // a truncated/corrupt segment ending in a lone escape must fail
+        // cleanly, not consume a byte from the adjacent value's range
+        if (pos >= until) throw new IllegalArgumentException(
+          "truncated FSST stream: escape code at segment end")
         dst(o) = data(pos); o += 1
         pos += 1
       } else {

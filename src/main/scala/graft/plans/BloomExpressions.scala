@@ -66,13 +66,8 @@ case class BloomAgg(child: Expression, expected: Int = BloomAgg.DefaultExpected,
     a
   }
 
-  override def eval(b: Bloom.FixedBuilder): Any = {
-    val body = Bloom.serialize(b.build())
-    val out = new Array[Byte](body.length + 1)
-    out(0) = typeTag
-    System.arraycopy(body, 0, out, 1, body.length)
-    out
-  }
+  override def eval(b: Bloom.FixedBuilder): Any =
+    Bloom.serializeTagged(b.build(), typeTag) // same envelope as chunk blooms
 
   override def serialize(b: Bloom.FixedBuilder): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + b.words.length * 8)
@@ -100,8 +95,8 @@ case class BloomAgg(child: Expression, expected: Int = BloomAgg.DefaultExpected,
 
 object BloomAgg {
   final val DefaultExpected = 100000
-  final val TagBytes: Byte = 'B'
-  final val TagLong: Byte = 'L'
+  final val TagBytes: Byte = Bloom.TagBytes
+  final val TagLong: Byte = Bloom.TagLong
 }
 
 /** bloom_contains(bloomBytes, value) — true when the filter might contain
@@ -132,18 +127,27 @@ case class BloomContains(left: Expression, right: Expression)
 
   override def nullSafeEval(b: Any, v: Any): Any = {
     val blob = b.asInstanceOf[Array[Byte]]
-    require(blob.length >= 1, "not a bloom_agg value: empty blob")
-    val tag = blob(0)
+    require(blob.length >= 2, "not a bloom value: blob too short")
     val probeTag = right.dataType match {
       case BinaryType | StringType => BloomAgg.TagBytes
       case _                       => BloomAgg.TagLong
     }
-    require(tag == probeTag,
-      s"bloom_contains type mismatch: filter built over ${if (tag == BloomAgg.TagLong) "integers" else "strings/bytes"}, " +
-        s"probed with ${right.dataType.simpleString} — the hash representations differ, which would " +
-        "silently produce false negatives")
-    if (!(blob eq lastBlob)) {
-      lastBloom = Bloom.deserialize(java.util.Arrays.copyOfRange(blob, 1, blob.length))
+    // identity hit first (constant/broadcast bloom: one parse total), then
+    // content equality (per-group blobs from a join materialize a fresh
+    // array per row — Arrays.equals is a fraction of a re-deserialize and
+    // exact, so repeated probes of the same group's filter stay cheap)
+    if (!(blob eq lastBlob) &&
+        !(lastBlob != null && java.util.Arrays.equals(blob, lastBlob))) {
+      val (tag, bloom) = Bloom.deserializeTagged(blob) // tag 0 = legacy untagged
+      if (tag != 0) {
+        require(tag == Bloom.TagBytes || tag == Bloom.TagLong,
+          s"unrecognized bloom type tag '${tag.toChar}' — not a bloom_agg/chunk bloom value")
+        require(tag == probeTag,
+          s"bloom_contains type mismatch: filter built over ${if (tag == Bloom.TagLong) "integers" else "strings/bytes"}, " +
+            s"probed with ${right.dataType.simpleString} — the hash representations differ, which would " +
+            "silently produce false negatives")
+      }
+      lastBloom = bloom
       lastBlob = blob
     }
     val (h1, h2) = right.dataType match {

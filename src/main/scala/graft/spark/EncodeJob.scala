@@ -323,9 +323,12 @@ object EncodeJob {
     val w = chunks.write.mode(SaveMode.Overwrite)
     (if (cfg.partitionByColumn) w.partitionBy("column") else w)
       .parquet(chunkBatchDir(cfg.outDir, batchId))
-    // the writer KNOWS the layout — record it so a same-JVM rewrite of an
-    // outDir with a different layout can never serve readers a stale
-    // cached answer
+    // the writer KNOWS the layout — record it so a SAME-JVM rewrite of an
+    // outDir with a different layout serves readers the fresh answer. The
+    // guarantee is JVM-scoped only: another process rewriting this outDir
+    // with a different layout leaves this cache stale, which costs the
+    // colocated-probe fallback to the (always-correct) shuffled path, never
+    // wrong data — cross-process rewrites want a new session.
     layoutCache.put(cfg.outDir, java.lang.Boolean.valueOf(cfg.partitionByColumn))
   }
 

@@ -162,9 +162,13 @@ object TableEncoder {
     // opt-in chunk-level bloom filter (string/long-family columns)
     protected var bloomB: graft.core.Bloom.Builder = null
     def enableBloom(): Unit = bloomB = new graft.core.Bloom.Builder
+    /** Hash-representation tag for the tagged bloom envelope ('B' bytes /
+      * 'L' long) — long-family buffers override.
+      */
+    protected def bloomTag: Byte = graft.core.Bloom.TagBytes
     def bloomBytes: Option[Array[Byte]] =
       if (bloomB == null || bloomB.count == 0) None
-      else Some(graft.core.Bloom.serialize(bloomB.build()))
+      else Some(graft.core.Bloom.serializeTagged(bloomB.build(), bloomTag))
     def add(row: Row, i: Int): Unit
     def encode(aligned: Boolean): ColumnStreams
     def minMax: (Option[String], Option[String])
@@ -210,6 +214,7 @@ object TableEncoder {
   }
 
   private final class LongColBuf(codecTag: String, indexStride: Int) extends ColBuf {
+    override protected def bloomTag: Byte = graft.core.Bloom.TagLong
     private val values = new graft.core.LongBuf(1024)
     private var mn = Long.MaxValue
     private var mx = Long.MinValue
@@ -807,9 +812,12 @@ object TableEncoder {
       def missingType(n: String): DataType =
         missingTypes.collectFirst { case (k, t) if k.equalsIgnoreCase(n) => t }
           .getOrElse(StringType)
+      // alias found columns to the CALLER'S requested casing too — mixed
+      // canonical/requested naming in one output breaks a downstream
+      // unionByName against the evolved schema
       val out = columns.map { n =>
         driveSpecs.find(_.name.equalsIgnoreCase(n)) match {
-          case Some(s) if found.exists(_.equalsIgnoreCase(n)) => col(s.name)
+          case Some(s) if found.exists(_.equalsIgnoreCase(n)) => col(s.name).as(n)
           case _ => lit(null).cast(missingType(n)).as(n)
         }
       }
@@ -1041,7 +1049,7 @@ object TableEncoder {
     // stats strings plus a bloom rejection test over the (small) bloom
     // blobs; absent/null stats or bloom keep the chunk (conservative)
     val bloomRejects = udf { (b: Array[Byte]) =>
-      b != null && !graft.core.Bloom.deserialize(b).mightContain(h1, h2)
+      b != null && !graft.core.Bloom.deserializeTagged(b)._2.mightContain(h1, h2)
     }
     val overlap = coalesce(
       !(col("max_val").try_cast(statType.sql) < v.cast(statType) ||

@@ -113,6 +113,34 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(longOk.getBoolean(0) && !longOk.getBoolean(1))
   }
 
+  test("bloom_contains probes CHUNK-level blooms — one tagged envelope for both surfaces") {
+    val stableSpark = spark
+    import stableSpark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.spark.TableEncoder
+    val df = (0 until 2000).map(i => (i.toLong, s"url-$i")).toDF("id", "k")
+    val specs = TableEncoder.columnSpecs(df.schema, Map.empty)
+    TableEncoder.encode(TableEncoder.shred(df, specs), specs, bloomColumns = Set("k", "id"))
+      .select(col("column"), col("bloom")).createOrReplaceTempView("chunk_blooms")
+    // a chunk bloom written by the encoder answers a SQL probe
+    val hit = spark.sql(
+      "SELECT max(bloom_contains(bloom, 'url-77')) FROM chunk_blooms WHERE column = 'k'")
+      .first().getBoolean(0)
+    assert(hit, "chunk bloom rejected a present value")
+    // probing a bytes-built chunk bloom with a LONG raises the type
+    // mismatch (not a misleading varint-as-tag error)
+    val e = intercept[Exception] {
+      spark.sql("SELECT bloom_contains(bloom, 42L) FROM chunk_blooms WHERE column = 'k'").collect()
+    }
+    assert(e.getMessage.contains("type mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("type mismatch")), e.getMessage)
+    // long-family chunk bloom probes with a long
+    val hitL = spark.sql(
+      "SELECT max(bloom_contains(bloom, 1234L)) FROM chunk_blooms WHERE column = 'id'")
+      .first().getBoolean(0)
+    assert(hitL, "long chunk bloom rejected a present value")
+  }
+
   test("imperative registration works on a plain session") {
     val plain = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false")
