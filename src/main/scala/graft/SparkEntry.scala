@@ -320,6 +320,28 @@ object SparkEntry {
         planted = 20, offset = 1000000)
         .orderBy("id_a", "id_b")
     }),
+    "q_neardup_dedup" -> ((s, dir) => {
+      // the operator AFTER pair detection: collapse transitive near-dup
+      // families to one canonical row. Planted per base doc (doc_id<10):
+      // a copy missing the first word (+1e6) and one missing the first
+      // TWO words (+2e6) — the latter pairs with the former even when it
+      // misses the base directly, so only transitive clustering kills it.
+      // Hard gate: no planted id may survive the dedup.
+      val docs = read(s, dir, "documents").select("doc_id", "text")
+      val drop1 = expr("substring(text, instr(text, ' ') + 1)")
+      val p1 = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000).as("doc_id"), drop1.as("text"))
+      val p2 = p1.select((col("doc_id") + 1000000).as("doc_id"), drop1.as("text"))
+      val all = docs.union(p1).union(p2)
+      val pairs = Dedup.minhashNearDuplicates(all, "doc_id", "text",
+        k = 32, bands = 8, shingleSize = 3, threshold = 0.5)
+      val kept = Dedup.dropNearDuplicates(all, "doc_id", pairs)
+        .select("doc_id").localCheckpoint(true)
+      val survivors = kept.filter(col("doc_id") >= 1000000).count()
+      require(survivors == 0,
+        s"$survivors planted near-dup copies survived transitive clustering")
+      kept.withColumn("planted_survivors", lit(survivors)).orderBy("doc_id")
+    }),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(read(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),

@@ -203,6 +203,74 @@ object Dedup {
     pairs
   }
 
+  /** Collapse near-duplicate PAIRS (any detector's output: minhash /
+    * simhash / embedding) into connected-component clusters labeled by
+    * their MINIMUM member id — the operator a real pipeline runs after
+    * pair detection, since near-duplication is transitive in practice
+    * (a~b and b~c should keep ONE of {a,b,c}, not two).
+    *
+    * Min-label propagation over the undirected pair graph: each
+    * iteration joins labels across edges and takes the per-node min; it
+    * converges in O(cluster diameter) rounds. Near-dup clusters are
+    * small and dense (families of variants of one page), so a handful
+    * of rounds suffices; each round is one join + one aggregation, both
+    * keyed shuffles on 8-byte ids — no vertex ever holds its whole
+    * cluster in memory, so a 10^9-member boilerplate family is fine.
+    * Lineage is cut per round (localCheckpoint) so the plan doesn't grow
+    * with iterations. Throws if `maxIterations` rounds don't converge
+    * (an unconverged labeling could split a cluster — never return one
+    * silently); pathological diameters that large mean the pair set is
+    * chain-shaped, which near-dup families aren't.
+    *
+    * Returns (id, cluster_id) for every id APPEARING IN PAIRS; rows with
+    * no near-dup pair are their own implicit singleton cluster.
+    */
+  def nearDupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                      maxIterations: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+    val undirected = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round; detector lineage cut once
+    var labels = undirected.select(col("src").as("nid")).distinct()
+      .withColumn("lbl", col("nid"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val viaNeighbors = undirected
+        .join(labels, undirected("dst") === labels("nid"))
+        .select(undirected("src").as("nid"), col("lbl"))
+      val updated = labels.select(col("nid"), col("lbl")).union(viaNeighbors)
+        .groupBy("nid").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val changed = updated.alias("u")
+        .join(labels.select(col("nid"), col("lbl").as("prev")), "nid")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"near-dup clustering did not converge in $maxIterations rounds — pair graph has a " +
+        "path longer than that; raise maxIterations")
+    labels.select(col("nid").as("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Keep one canonical row (the minimum id) per near-dup cluster: drops
+    * every non-canonical member of `pairs`' connected components from
+    * `df`. Rows in no pair are kept untouched. The 100 TB shape: the
+    * loser set is a fraction of the corpus (ids only), recovered against
+    * the full table with an anti-join on the 8-byte id.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = nearDupClusters(pairs, idA, idB)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard similarity between two text columns (pairwise
     * expression — for verification and small candidate sets).
     */

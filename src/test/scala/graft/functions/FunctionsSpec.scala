@@ -139,6 +139,24 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 0, s"capped hot buckets must yield no candidate pairs, got $n")
   }
 
+  test("near-dup clusters: transitive pairs collapse to min-id components; dedup keeps canonicals") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val df = (1L to 25L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", pairs).collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L))
+    // a chain of diameter 19 still converges to one component
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.nearDupClusters(chain).collect()
+    assert(cc.map(_.getLong(1)).toSet == Set(1L) && cc.length == 20)
+  }
+
   test("exact dedup keeps exactly one row per duplicated key") {
     val dup = docs.select("doc_id", "text")
       .union(docs.select((col("doc_id") + 5000).as("doc_id"), col("text")).limit(50))
