@@ -39,13 +39,20 @@ object SparkEntry {
     * count does not re-run the LSH pipeline.
     */
   private def withPlantedRecall(pairs: DataFrame, planted: Long, offset: Long): DataFrame = {
-    val p = pairs.localCheckpoint(true)
-    val hits = p.filter(col("id_a") < planted && col("id_b") === col("id_a") + offset)
-      .select("id_a").distinct().count()
+    val spark = pairs.sparkSession
+    // near-dup PAIR sets are tiny by contract (pairs, not corpus) — one
+    // collect runs the LSH pipeline exactly once; recall and the final
+    // sort then cost driver-array work instead of a localCheckpoint
+    // materialization pass (~1 s slower than a count on the same join)
+    val rows = pairs.collect()
+    val hits = rows.iterator
+      .filter(r => r.getLong(0) < planted && r.getLong(1) == r.getLong(0) + offset)
+      .map(_.getLong(0)).toSet.size
     val recall = hits.toDouble / planted
     require(recall >= 1.0,
       f"planted near-dup recall $recall%.3f < 1.0 (only $hits of $planted planted pairs surfaced)")
-    p.withColumn("planted_recall", lit(recall))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema)
+      .withColumn("planted_recall", lit(recall))
   }
 
   /** Flagship query on sf=0.001: full round trip of the documents table
@@ -357,21 +364,24 @@ object SparkEntry {
         (col("doc_id") + 1000000).as("doc_id"),
         concat(expr("substring(text, 1, length(text) - 8)"), lit(" altered")).as("text"))
       val union = docs.union(planted)
-      val pairs = Dedup.simhashNearDuplicates(union, "doc_id", "text", maxHamming = 3)
-        .localCheckpoint(true)
-      val sigs = Dedup.simhashSignatures(union, "doc_id", "text")
+      // signatures computed ONCE (checkpointed), consumed by both the
+      // detector and the ground-truth set
+      val sigs = Dedup.simhashSignatures(union, "doc_id", "text").localCheckpoint(true)
+      val pairsDf = Dedup.simhashNearDuplicatesFromSigs(sigs, "doc_id", maxHamming = 3)
+      val pairRows = pairsDf.collect() // tiny by contract
       val guaranteed = sigs.alias("a")
         .join(sigs.alias("b"), col("b.doc_id") === col("a.doc_id") + 1000000)
         .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
         .select(col("a.doc_id").as("id_a")).count()
-      val hits = pairs
-        .filter(col("id_a") < 20 && col("id_b") === col("id_a") + 1000000)
-        .select("id_a").distinct().count()
+      val hits = pairRows.iterator
+        .filter(r => r.getLong(0) < 20 && r.getLong(1) == r.getLong(0) + 1000000)
+        .map(_.getLong(0)).toSet.size
       require(guaranteed >= 5,
         s"planted construction degraded: only $guaranteed of 20 edits stay within hamming 3")
       require(hits >= guaranteed,
         s"simhash pigeonhole violated: $hits of $guaranteed guaranteed planted pairs surfaced")
-      pairs.withColumn("planted_recall", lit(hits.toDouble / guaranteed))
+      s.createDataFrame(java.util.Arrays.asList(pairRows: _*), pairsDf.schema)
+        .withColumn("planted_recall", lit(hits.toDouble / guaranteed))
         .orderBy("id_a", "id_b")
     }),
     "q_ann_cosine" -> ((s, dir) => {

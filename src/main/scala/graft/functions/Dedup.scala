@@ -135,7 +135,11 @@ object Dedup {
     banded.unpersist()
 
     // verify with exact Jaccard, shingling only candidate rows: join the
-    // raw text to the candidate ids FIRST, then shingle the joined pairs
+    // raw text to the candidate ids FIRST, then shingle the joined pairs.
+    // ngramJaccard is the NATIVE fused expression — Catalyst substitutes
+    // it into both the join condition and the output projection, and the
+    // interpreted-HOF formulation it replaced cost ~4 ms per evaluation
+    // there (the round-4 q_minhash regression hunt).
     val texts = df.select(col(idCol), col(textCol))
     val verified = candidates
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
@@ -178,10 +182,20 @@ object Dedup {
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3,
-                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    simhashNearDuplicatesFromSigs(simhashSignatures(df, idCol, textCol), idCol,
+      maxHamming, maxBucketSize)
+
+  /** Same detector over PRECOMPUTED (idCol, simhash) signatures — for
+    * callers that also need the signatures themselves (validation,
+    * manifests): the aggregation pass over the corpus runs once, not
+    * per consumer.
+    */
+  def simhashNearDuplicatesFromSigs(sigs: DataFrame, idCol: String,
+                                    maxHamming: Int = 3,
+                                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-band LSH is exact only to Hamming 3, got $maxHamming")
-    val sigs = simhashSignatures(df, idCol, textCol)
     val banded = sigs.select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -271,10 +285,18 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** n-gram Jaccard similarity between two text columns (pairwise
-    * expression — for verification and small candidate sets).
+  /** n-gram Jaccard similarity between two text columns, as the native
+    * fused Catalyst expression (graft.plans.NgramJaccard) — one codegen'd
+    * call per pair instead of ~8 interpreted HOF walks.
     */
-  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column =
+    graft.plans.NgramJaccard(a, b, k)
+
+  /** Composable reference formulation (interpreted higher-order
+    * functions) — kept to cross-check the native expression in tests;
+    * identical values by construction.
+    */
+  def ngramJaccardHof(a: Column, b: Column, k: Int = 3): Column = {
     val sa = shingles(a, k)
     val sb = shingles(b, k)
     when(size(array_union(sa, sb)) === 0, lit(0.0))

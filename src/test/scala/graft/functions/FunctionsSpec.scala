@@ -139,6 +139,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 0, s"capped hot buckets must yield no candidate pairs, got $n")
   }
 
+  test("native ngram jaccard matches the composable HOF version exactly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = docs.select(col("doc_id"), col("text"))
+    val b = d.select(col("doc_id").as("doc_id_b"), col("text").as("text_b"))
+    val pairs = d.join(b, col("doc_id_b") === col("doc_id") + 1)
+    for (k <- Seq(1, 3, 5)) {
+      val bad = pairs.select(
+        Dedup.ngramJaccard(col("text"), col("text_b"), k).as("fast"),
+        Dedup.ngramJaccardHof(col("text"), col("text_b"), k).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(bad == 0, s"$bad pairs diverge between native and HOF jaccard at k=$k")
+    }
+    // edge cases: empty, whitespace-only, shorter than k, unicode case
+    val edge = Seq(("", ""), ("   ", "a b c"), ("a b", "a b c d"),
+      ("ÄŐÜ foo BAR baz quux", "äőü foo bar baz quux"), ("one", "one"))
+      .toDF("ta", "tb")
+    val badEdge = edge.select(
+      Dedup.ngramJaccard(col("ta"), col("tb"), 3).as("fast"),
+      Dedup.ngramJaccardHof(col("ta"), col("tb"), 3).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(badEdge == 0, "edge-case divergence between native and HOF jaccard")
+  }
+
   test("near-dup clusters: transitive pairs collapse to min-id components; dedup keeps canonicals") {
     val spark0 = spark
     import spark0.implicits._
