@@ -47,6 +47,9 @@ object GraftExtensions {
     "hyperplane_bucket" -> { args: Seq[Expression] =>
       HyperplaneBucket(args(0), intLit(args, 1, "planes"),
         if (args.length > 2) intLit(args, 2, "table") else 0) },
+    "ngram_jaccard" -> { args: Seq[Expression] =>
+      NgramJaccard(args(0), args(1),
+        if (args.length > 2) intLit(args, 2, "k") else 3) },
   )
 
   private def intLit(args: Seq[Expression], i: Int, name: String): Int = args(i) match {

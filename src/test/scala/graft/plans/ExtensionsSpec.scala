@@ -74,6 +74,16 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b >= 0 && b < 64)
   }
 
+  test("ngram_jaccard is registered in SQL") {
+    val r = spark.sql(
+      """SELECT ngram_jaccard('a b c d', 'a b c d', 3) AS same,
+        |       ngram_jaccard('a b c d e', 'b c d e f', 2) AS part,
+        |       ngram_jaccard('', 'a b c', 3) AS empty""".stripMargin).first()
+    assert(r.getDouble(0) == 1.0)
+    assert(math.abs(r.getDouble(1) - 3.0 / 5.0) < 1e-12) // {bc,cd,de} of {ab,bc,cd,de,ef}∪...
+    assert(r.getDouble(2) == 0.0)
+  }
+
   test("cosine_similarity is registered in SQL and stays in codegen") {
     // range() scan (not a local relation, which evaluates at the driver)
     // so the expression provably runs inside WholeStageCodegen
