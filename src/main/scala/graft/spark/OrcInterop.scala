@@ -136,10 +136,12 @@ object OrcInterop {
   }
 
   /** Per-column stripe buffer over SHREDDED physical rows (long / bool /
-    * double / float / binary / BigDecimal for decimal128).
+    * double / float / binary / BigDecimal for decimal128). Scalar buffers
+    * are the graft.core primitive growables — no per-row boxing on the
+    * write hot path.
     */
   private sealed trait WBuf {
-    val present = new ArrayBuffer[Boolean]()
+    val present = new graft.core.BoolBuf(1024)
     def add(row: Row, i: Int): Unit
     /** (streams, columnEncoding) for the buffered stripe slice. */
     def encode(): (ColumnStreams, OrcProto.ColumnEncoding)
@@ -150,10 +152,10 @@ object OrcInterop {
   }
 
   private final class LongWBuf(spec: ColumnSpec) extends WBuf {
-    private val values = new ArrayBuffer[Long]()
+    private val values = new graft.core.LongBuf(1024)
     def add(row: Row, i: Int): Unit =
-      if (row.isNullAt(i)) present += false
-      else { present += true; values += row.getLong(i) }
+      if (row.isNullAt(i)) present.add(false)
+      else { present.add(true); values.add(row.getLong(i)) }
     def encode(): (ColumnStreams, OrcProto.ColumnEncoding) = {
       val pres = present.toArray
       val vals = values.toArray
@@ -176,35 +178,43 @@ object OrcInterop {
   }
 
   private final class BoolWBuf extends WBuf {
-    private val values = new ArrayBuffer[Boolean]()
+    private val values = new graft.core.BoolBuf(1024)
     def add(row: Row, i: Int): Unit =
-      if (row.isNullAt(i)) present += false
-      else { present += true; values += row.getBoolean(i) }
+      if (row.isNullAt(i)) present.add(false)
+      else { present.add(true); values.add(row.getBoolean(i)) }
     def encode(): (ColumnStreams, OrcProto.ColumnEncoding) =
       (ColumnCodec.encodeBool(values.toArray, present.toArray),
         direct(OrcProto.ColumnEncoding.Kind.DIRECT))
     override def clear(): Unit = { super.clear(); values.clear() }
   }
 
-  private final class DoubleWBuf(float: Boolean) extends WBuf {
-    private val values = new ArrayBuffer[Double]()
+  private final class DoubleWBuf extends WBuf {
+    private val values = new graft.core.DoubleBuf(1024)
     def add(row: Row, i: Int): Unit =
-      if (row.isNullAt(i)) present += false
-      else { present += true; values += (if (float) row.getFloat(i).toDouble else row.getDouble(i)) }
-    def encode(): (ColumnStreams, OrcProto.ColumnEncoding) = {
-      val pres = present.toArray
-      val cs = if (float) ColumnCodec.encodeFloat(values.map(_.toFloat).toArray, pres)
-               else ColumnCodec.encodeDouble(values.toArray, pres)
-      (cs, direct(OrcProto.ColumnEncoding.Kind.DIRECT))
-    }
+      if (row.isNullAt(i)) present.add(false)
+      else { present.add(true); values.add(row.getDouble(i)) }
+    def encode(): (ColumnStreams, OrcProto.ColumnEncoding) =
+      (ColumnCodec.encodeDouble(values.toArray, present.toArray),
+        direct(OrcProto.ColumnEncoding.Kind.DIRECT))
+    override def clear(): Unit = { super.clear(); values.clear() }
+  }
+
+  private final class FloatWBuf extends WBuf {
+    private val values = new graft.core.FloatBuf(1024)
+    def add(row: Row, i: Int): Unit =
+      if (row.isNullAt(i)) present.add(false)
+      else { present.add(true); values.add(row.getFloat(i)) }
+    def encode(): (ColumnStreams, OrcProto.ColumnEncoding) =
+      (ColumnCodec.encodeFloat(values.toArray, present.toArray),
+        direct(OrcProto.ColumnEncoding.Kind.DIRECT))
     override def clear(): Unit = { super.clear(); values.clear() }
   }
 
   private final class BytesWBuf(spec: ColumnSpec) extends WBuf {
     private val values = new ArrayBuffer[Array[Byte]]()
     def add(row: Row, i: Int): Unit =
-      if (row.isNullAt(i)) present += false
-      else { present += true; values += row.getAs[Array[Byte]](i) }
+      if (row.isNullAt(i)) present.add(false)
+      else { present.add(true); values += row.getAs[Array[Byte]](i) }
     def encode(): (ColumnStreams, OrcProto.ColumnEncoding) = {
       val pres = present.toArray
       val vals = values.toArray
@@ -225,8 +235,8 @@ object OrcInterop {
     private val scale = spec.narrow.split(',')(1).trim.toInt
     private val values = new ArrayBuffer[java.math.BigInteger]()
     def add(row: Row, i: Int): Unit =
-      if (row.isNullAt(i)) present += false
-      else { present += true; values += row.getDecimal(i).setScale(scale).unscaledValue() }
+      if (row.isNullAt(i)) present.add(false)
+      else { present.add(true); values += row.getDecimal(i).setScale(scale).unscaledValue() }
     def encode(): (ColumnStreams, OrcProto.ColumnEncoding) =
       (ColumnCodec.encodeDecimal128(values.toArray, Array.fill(values.length)(scale.toLong),
         present.toArray), direct())
@@ -236,8 +246,8 @@ object OrcInterop {
   private def bufFor(spec: ColumnSpec): WBuf = spec.logical match {
     case "long" | "timestamp" | "timestamp_ntz" | "date" | "decimal" => new LongWBuf(spec)
     case "bool"              => new BoolWBuf
-    case "double"            => new DoubleWBuf(float = false)
-    case "float"             => new DoubleWBuf(float = true)
+    case "double"            => new DoubleWBuf
+    case "float"             => new FloatWBuf
     case "string" | "binary" => new BytesWBuf(spec)
     case "decimal128"        => new Dec128WBuf(spec)
     case other => throw new IllegalArgumentException(s"unsupported logical type $other")
