@@ -29,6 +29,29 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.parquet(s"$dir/$table.parquet")
 
+  /** Hard self-validation for the approximate-NN queries: recall against
+    * the exact brute-force answer on the same (tiny) query set, computed
+    * inside the query — below `floor` throws, flipping the CORRECTNESS
+    * row to `err` on a recall regression instead of silently passing
+    * rows-only. The recall rides the output as a column. (Floors match
+    * the FunctionsSpec recall envelopes, not 1.0: ANN is approximate by
+    * contract — only the near-dup queries have exactness guarantees.)
+    */
+  private def withAnnRecall(approx: DataFrame, corpus: DataFrame, queries: DataFrame,
+                            k: Int, floor: Double): DataFrame = {
+    val spark = approx.sparkSession
+    val approxRows = approx.collect() // ≤ queries × k by contract
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", "vec_id", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = approxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0 else exact.count(got.contains).toDouble / exact.size
+    require(recall >= floor,
+      f"ANN recall vs exact top-$k%d fell to $recall%.3f (< $floor%.2f floor)")
+    spark.createDataFrame(java.util.Arrays.asList(approxRows: _*), approx.schema)
+      .withColumn("recall_vs_exact", lit(recall))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hard self-validation for the planted-truth near-dup queries: DuckDB
     * cannot oracle LSH outputs, but the queries plant ground-truth pairs
     * (id, id + offset) — so recall over the planted set is computed INSIDE
@@ -393,16 +416,18 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
       val queries = emb.orderBy("vec_id").limit(5)
-      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10, planes = 6,
-          probeBits = 1, tables = 2)
-        .orderBy("query_id", "rank")
+      withAnnRecall(
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10, planes = 6,
+          probeBits = 2, tables = 4),
+        emb, queries, k = 10, floor = 0.5)
     }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
       val queries = emb.orderBy("vec_id").limit(5)
-      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10,
-          nlist = 32, nProbe = 8)
-        .orderBy("query_id", "rank")
+      withAnnRecall(
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10,
+          nlist = 32, nProbe = 12),
+        emb, queries, k = 10, floor = 0.5)
     }),
     "q_embed_neardup" -> ((s, dir) => {
       // plant scaled copies (cosine exactly 1.0 to the original) so the
@@ -454,10 +479,17 @@ object SparkEntry {
       val docs = read(s, dir, "documents")
       val codecs = EncodeJob.pinStringCodecs(docs, 5000)
       val specs = TableEncoder.columnSpecs(docs.schema, codecs)
-      TableEncoder.encode(TableEncoder.shred(docs, specs), specs)
+      val metrics = TableEncoder.encode(TableEncoder.shred(docs, specs), specs)
         .groupBy(col("column"), col("codec"))
         .agg(sum(col("raw_bytes")).as("raw_bytes"), sum(col("encoded_bytes")).as("encoded_bytes"))
         .orderBy("column")
+        .localCheckpoint(true)
+      // hard gate: the whole point of the engine — TOTAL encoded bytes
+      // must beat raw (individual incompressible columns may not)
+      val t = metrics.agg(sum("raw_bytes"), sum("encoded_bytes")).first()
+      require(t.getLong(1) < t.getLong(0),
+        s"encoded ${t.getLong(1)} B did not beat raw ${t.getLong(0)} B")
+      metrics
     })
   )
 
