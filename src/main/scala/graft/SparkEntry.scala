@@ -329,12 +329,35 @@ object SparkEntry {
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
     "q_langid" -> ((s, dir) => {
-      val docs = read(s, dir, "documents")
+      // hard gate via planted separable languages: the synthetic corpus
+      // shares ONE vocabulary across its lang labels (token-frequency
+      // divergence ≤0.4% at sf0.1 — pure sampling noise), so corpus
+      // accuracy is chance-capped by construction and cannot gate
+      // anything. Instead plant 5 artificial languages with disjoint
+      // vocabularies (ids ≥ 1e6, own lang labels), train profiles on the
+      // UNION, and require ≥95% accuracy on the planted set — a training
+      // or inference regression (e.g. the round-3 head-sampling bug,
+      // which starves every lang outside the head cluster of a profile)
+      // fails the gate. FunctionsSpec holds the ≥0.7 envelope on its
+      // separable WebGen corpus.
+      import s.implicits._
+      val planted = (for (l <- 0 until 5; d <- 0 until 50) yield {
+        val vocab = (0 until 20).map(t => s"w${l}x$t")
+        val text = (0 until 30).map(i => vocab((d + i * 7) % vocab.size)).mkString(" ")
+        (1000000L + l * 100 + d, s"xx_$l", text)
+      }).toDF("doc_id", "lang", "text")
+      val docs = read(s, dir, "documents").select("doc_id", "lang", "text")
+        .union(planted)
       val profiles = TextOps.trainLangProfiles(docs, "text", "lang")
-      docs.select(col("doc_id"), col("lang"),
+      val scored = docs.select(col("doc_id"), col("lang"),
           TextOps.langIdUdf(profiles)(col("text")).as("predicted"))
         .withColumn("correct", (col("lang") === col("predicted")).cast("int"))
-        .orderBy("doc_id")
+        .localCheckpoint(true)
+      val plantedAcc = scored.filter(col("doc_id") >= 1000000L)
+        .agg(avg(col("correct"))).first().getDouble(0)
+      require(plantedAcc >= 0.95,
+        f"langid accuracy on planted separable langs $plantedAcc%.3f fell below 0.95")
+      scored.withColumn("planted_accuracy", round(lit(plantedAcc), 4)).orderBy("doc_id")
     }),
     "q_minhash_neardup" -> ((s, dir) => {
       // plant near-duplicates (first 20 docs with the first word dropped,
@@ -372,9 +395,24 @@ object SparkEntry {
         s"$survivors planted near-dup copies survived transitive clustering")
       kept.withColumn("planted_survivors", lit(survivors)).orderBy("doc_id")
     }),
-    "q_simhash" -> ((s, dir) =>
-      Dedup.simhashSignatures(read(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
+    "q_simhash" -> ((s, dir) => {
+      // hard gate: plant byte-identical copies (ids + 1e6) — simhash is a
+      // pure function of the token stream, so every copy MUST land on its
+      // base's exact signature; any drift (hashing, tokenization, vote
+      // accumulation) flips this row to err instead of silently passing
+      val docs = read(s, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val sigs = Dedup.simhashSignatures(docs.union(copies), "doc_id", "text")
+        .localCheckpoint(true)
+      val mismatched = sigs.alias("a").join(sigs.alias("b"),
+          col("a.doc_id") + 1000000 === col("b.doc_id") &&
+            col("a.simhash") =!= col("b.simhash"))
+        .count()
+      require(mismatched == 0,
+        s"$mismatched planted identical copies got a different simhash")
+      sigs.orderBy("doc_id")
+    }),
     "q_simhash_neardup" -> ((s, dir) => {
       // plant near-identical docs (one word altered, ids offset by 1e6).
       // Hard gate: the 4-band LSH is pigeonhole-EXACT to signature hamming
@@ -442,13 +480,41 @@ object SparkEntry {
         planted = 10, offset = 1000000)
         .orderBy("id_a", "id_b")
     }),
-    "q_multimodal_meta" -> ((s, dir) =>
-      read(s, dir, "documents")
+    "q_multimodal_meta" -> ((s, dir) => {
+      // hard gate: plant real container headers (PNG IHDR 640×480, GIF89a
+      // 320×200, WAV 44.1kHz stereo 16-bit 1000 frames) alongside the
+      // opaque text blobs; the header walk must recover the exact planted
+      // values or the row flips to err — a parser regression can no longer
+      // hide behind "rows returned".
+      import s.implicits._
+      def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+      def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 2, 0, 0, 0)
+      val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0)
+      val wavData = 1000 * 2 * 2 // frames × channels × bytes-per-sample
+      val wav = "RIFF".getBytes ++ le32(36 + wavData) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+        le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+        "data".getBytes ++ le32(wavData) ++ Array.fill[Byte](wavData)(0)
+      val planted = Seq((1000000L, png), (1000001L, gif), (1000002L, wav))
+        .toDF("doc_id", "blob")
+      val out = read(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .union(planted)
         .select(col("doc_id"), Multimodal.extractMetaUdf(col("blob")).as("meta"))
         .select(col("doc_id"), col("meta.format"), col("meta.width"), col("meta.height"),
           col("meta.frames"), col("meta.bytes"))
-        .orderBy("doc_id")),
+        .localCheckpoint(true)
+      val got = out.filter(col("doc_id") >= 1000000L).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      val want = Seq((1000000L, "png", 640, 480, 1), (1000001L, "gif", 320, 200, 1),
+        (1000002L, "wav", 44100, 2, 1000))
+      require(got.toSeq == want,
+        s"planted media headers mis-parsed: got ${got.mkString(";")} want ${want.mkString(";")}")
+      out.orderBy("doc_id")
+    }),
     // Structured Streaming surface driven to completion: file-source
     // stream over events, event-time daily windows with a watermark,
     // complete-mode memory sink. Equals the batch GROUP BY (all rows are
