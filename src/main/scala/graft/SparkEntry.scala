@@ -140,6 +140,20 @@ object SparkEntry {
       OrcInterop.readOrcFile(s, out).orderBy(li.columns.map(col).toIndexedSeq: _*)
     }),
 
+    // the DataSource V2 surface end-to-end (spark.read.format("graft")):
+    // encode through the product write path, then read back through the
+    // registered source with a pushed date filter and a pruned
+    // projection — schema inferred from disk, filters residual-exact
+    "rt_source" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val out = java.nio.file.Files.createTempDirectory("graft-dsv2-rt").toString
+      EncodeJob.run(li, EncodeJob.Config(out, numPartitions = 4, keyColumn = None))
+      s.read.format("graft").load(out)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    }),
+
     // stats pruning at two granularities: whole chunks whose [min,max]
     // miss the predicate are never decoded, and WITHIN a partially-
     // overlapping chunk the per-stride row index skips non-matching
@@ -565,6 +579,10 @@ object SparkEntry {
     "rt_events" -> "SELECT * FROM events ORDER BY event_id",
     "rt_orders" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "rt_orc_file" -> "SELECT * FROM lineitem ORDER BY ALL",
+    "rt_source" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin,
     "rt_pruned" ->
       "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 ORDER BY l_orderkey, l_linenumber",
     "rt_subset" ->

@@ -92,6 +92,56 @@ object EncodeJob {
 
   def chunkDir(outDir: String) = s"$outDir/chunks"
   def manifestDir(outDir: String) = s"$outDir/manifest"
+  def schemaPath(outDir: String) = s"$outDir/schema.json"
+
+  /** Persist the logical schema next to the manifest — the FileTail's
+    * schema-in-footer role (/root/reference/src/ApacheOrcDotNet/
+    * FileTail.cs:22-54): a reader holding only the output directory can
+    * reconstruct both the Spark types AND (with the manifest's codec
+    * lineage) the full column specs, no caller-supplied schema needed.
+    * Idempotent overwrite; written before the manifest commit so any
+    * committed batch always has a readable schema.
+    */
+  private def writeSchemaJson(spark: SparkSession, outDir: String,
+                              schema: org.apache.spark.sql.types.StructType): Unit = {
+    val path = new org.apache.hadoop.fs.Path(schemaPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, /* overwrite = */ true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The persisted logical schema, when this outDir was written by a
+    * round-4+ engine. None for older dirs (callers supply the schema).
+    */
+  def schemaFromDisk(spark: SparkSession, outDir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val path = new org.apache.hadoop.fs.Path(schemaPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Specs for a reader that has ONLY the output directory: persisted
+    * schema + manifest codec lineage. None when the dir predates schema
+    * persistence — use specsFromManifest with a caller-supplied schema.
+    */
+  def specsFromDisk(spark: SparkSession, outDir: String): Option[Array[ColumnSpec]] =
+    schemaFromDisk(spark, outDir).map(specsFromManifest(spark, outDir, _))
+
+  /** Read back with everything recovered from disk (schema.json +
+    * manifest lineage) — the no-arguments-but-the-path reader surface.
+    */
+  def readBack(spark: SparkSession, outDir: String): DataFrame =
+    readBack(spark, outDir, specsFromDisk(spark, outDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${schemaPath(outDir)} — dir written by an older engine; " +
+          "pass specs via readBack(spark, outDir, specs)")))
 
   /** Batch-scoped chunk directory (Hive-style `batch=<id>` so reads see
     * it as a partition column). A batch's chunks are written here with
@@ -205,6 +255,7 @@ object EncodeJob {
     val specs = TableEncoder.columnSpecs(df.schema, stringCodecs)
     val codecLineage = lineage(specs)
 
+    writeSchemaJson(spark, cfg.outDir, df.schema)
     val shredded = TableEncoder.shred(partitionWithSalt(df, cfg), specs)
     val offset = batchId * cfg.numPartitions
     val t0 = System.nanoTime()
@@ -262,6 +313,7 @@ object EncodeJob {
     val specs = TableEncoder.columnSpecs(df.schema, stringCodecs)
     val codecLineage = lineage(specs)
 
+    writeSchemaJson(spark, cfg.outDir, df.schema)
     val partitioned = partitionWithSalt(df, cfg)
     val shredded = TableEncoder.shred(partitioned, specs)
 

@@ -1217,7 +1217,7 @@ object TableEncoder {
     * decoder, which skips pruned strides' decompression and value decode
     * entirely.
     */
-  private def decodeChunkInternalRows(
+  private[spark] def decodeChunkInternalRows(
       byCol: Map[String, EncodedChunk], specs: Array[ColumnSpec],
       writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter,
       stridePrune: Option[(String, Long, Long)] = None)

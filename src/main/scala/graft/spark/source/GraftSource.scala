@@ -1,0 +1,570 @@
+package graft.spark.source
+
+import graft.spark.{ColumnSpec, EncodeJob, EncodedChunk, TableEncoder}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, MakeDecimal, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** `spark.read.format("graft").load(outDir)` — the engine's output as a
+  * first-class Spark DataSource V2 table, the read-path analogue of the
+  * reference's `OrcReader` entry point (/root/reference/src/
+  * ApacheOrcDotNet/OrcReader.cs:17-67) expressed as a Catalyst-visible
+  * source instead of a bespoke API:
+  *
+  *  - schema comes from the persisted `schema.json` + manifest codec
+  *    lineage (EncodeJob.specsFromDisk) — no caller-supplied schema;
+  *  - column pruning (`SupportsPushDownRequiredColumns`) reaches the
+  *    stream blobs: unrequested columns are never decompressed, and on
+  *    the column-partitioned layout their FILES are never opened;
+  *  - filter pushdown (`SupportsPushDownFilters`) drives chunk-level
+  *    min/max + Bloom pruning and sub-chunk stride skipping — pruning
+  *    yields supersets, so every filter is also reported back to Spark
+  *    as residual and re-applied exactly above the scan;
+  *  - one InputPartition per chunk file (the writer's one-file-per-task
+  *    invariant), so the scan is the zero-shuffle colocated read: blobs
+  *    cross the network zero times, and `numPartitions = 3× reader
+  *    parallelism` sizing applies as-is at 1000 executors.
+  *
+  * Both writer layouts are readable: the default row-grouped layout
+  * (whole chunk groups per file) and `partitionByColumn` (one column per
+  * file; aligned per-column files of one writer task are zipped back
+  * into chunk groups — the DSv2 form of ColumnZipRead, except pruning
+  * happens at FILE granularity before anything is opened).
+  */
+final class GraftSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft source needs a path: .load(<outDir>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EncodeJob.schemaFromDisk(SparkSession.active, pathOf(options)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${EncodeJob.schemaPath(pathOf(options))} — written by an older engine; " +
+          "pass the logical schema via spark.read.schema(...)"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftTable(properties.get("path"), schema)
+}
+
+final class GraftTable(outDir: String, logicalSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft:$outDir"
+  override def schema(): StructType = logicalSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(outDir, logicalSchema)
+}
+
+final class GraftScanBuilder(outDir: String, logicalSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = logicalSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Accept single-column comparisons the chunk statistics can act on;
+    * everything is ALSO returned as residual (pruning keeps supersets —
+    * Spark re-applies the exact predicate above the scan).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo(a, v)            => supported(a, v)
+      case GreaterThan(a, v)        => supported(a, v)
+      case GreaterThanOrEqual(a, v) => supported(a, v)
+      case LessThan(a, v)           => supported(a, v)
+      case LessThanOrEqual(a, v)    => supported(a, v)
+      case _                        => false
+    }
+    filters
+  }
+  private def supported(attr: String, v: Any): Boolean =
+    v != null && logicalSchema.fields.exists(_.name.equalsIgnoreCase(attr))
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftScan(outDir, logicalSchema, required, pushed)
+}
+
+final class GraftScan(outDir: String, logicalSchema: StructType,
+                      required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  // count(*)-style scans still need row cardinality: decode the cheapest
+  // written column and project it away (same cost ladder as
+  // TableEncoder.decodeColumns's all-missing driver)
+  private val emitColumns: Seq[String] =
+    if (required.fields.nonEmpty) required.fields.map(_.name).toSeq
+    else {
+      val cost = Map("bool" -> 0, "date" -> 1, "long" -> 2, "timestamp" -> 2,
+        "timestamp_ntz" -> 2, "decimal" -> 2, "float" -> 3, "double" -> 4,
+        "decimal128" -> 5, "string" -> 6, "binary" -> 7)
+      val specs = allSpecs
+      Seq(specs.minBy(sp => cost.getOrElse(sp.logical, 9)).name)
+    }
+
+  private def spark = SparkSession.active
+  private lazy val allSpecs: Array[ColumnSpec] =
+    EncodeJob.specsFromManifest(spark, outDir, logicalSchema)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft $outDir ReadSchema: ${emitColumns.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
+    val committed = EncodeJob.committedBatches(spark, outDir)
+    val dir = new Path(EncodeJob.chunkDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"no chunk dir under $outDir")
+    val files = scala.collection.mutable.ArrayBuffer[(Int, Option[String], String)]()
+    val it = fs.listFiles(dir, /* recursive */ true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val batch = """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
+        val column = """column=([^/]+)/""".r.findFirstMatchIn(p).map(_.group(1))
+        batch.filter(committed.contains).foreach(b => files += ((b, column, p)))
+      }
+    }
+    if (files.exists(_._2.isDefined)) {
+      // column-partitioned layout: group the per-column files of one
+      // writer task (same part-NNNNN file index within a batch) and open
+      // ONLY the requested columns' files — scan IO ∝ requested columns
+      val wanted = specs.map(_.name).toSet
+      files.filter(f => f._2.exists(wanted.contains))
+        .groupBy(f => (f._1, taskIndexOf(f._3)))
+        .toArray.sortBy(_._1)
+        .map { case (_, group) =>
+          val byCol = group.map(g => g._2.get -> g._3).toMap
+          require(byCol.keySet == wanted,
+            s"column-partitioned layout missing files for ${wanted -- byCol.keySet} — " +
+              "externally rewritten dir? use EncodeJob.readBack")
+          // spec order keeps the zip deterministic
+          GraftInputPartition(specs.map(s => byCol(s.name)), specs.map(_.name).toSeq)
+        }
+    } else files.toArray.sortBy(_._3).map(f => GraftInputPartition(Array(f._3), Seq.empty))
+  }
+
+  private def taskIndexOf(path: String): String = {
+    // part-00007-<uuid>....parquet → 00007 (one file per writer task per
+    // column dir; the shared task index is the alignment key)
+    val name = new Path(path).getName
+    name.split('-').lift(1).getOrElse(name)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
+    val preds = pushed.flatMap(PrunePred.from(_, specs))
+    GraftReaderFactory(specs, required.fields.isEmpty, preds,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+  }
+}
+
+final case class GraftInputPartition(files: Array[String], columns: Seq[String])
+    extends InputPartition
+
+/** One pushed comparison, pre-resolved on the driver into the spaces the
+  * chunk metadata speaks: the stat-string space for chunk-level min/max,
+  * the stride long space for the sub-chunk row index, and the Bloom hash
+  * pair for equality probes. Conservative everywhere: un-parseable stats
+  * or absent metadata keep the chunk.
+  */
+final case class PrunePred(column: String, logical: String,
+                           loLong: Long, hiLong: Long, longUsable: Boolean,
+                           loDouble: Double, hiDouble: Double, doubleUsable: Boolean,
+                           loStr: Option[String], hiStr: Option[String],
+                           strideLo: Long, strideHi: Long, strideUsable: Boolean,
+                           bloomH1: Long, bloomH2: Long, bloomUsable: Boolean)
+    extends Serializable {
+
+  def keepsChunk(c: EncodedChunk): Boolean = {
+    val byRange =
+      if (longUsable) overlap(c, _.toLong, loLong, hiLong)(Ordering.Long)
+      else if (doubleUsable) overlap(c, _.toDouble, loDouble, hiDouble)(Ordering.Double.TotalOrdering)
+      else if (loStr.isDefined || hiStr.isDefined) {
+        def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        overlap(c, u, u(loStr.getOrElse("")), hiStr.map(u).orNull)(
+          Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]()))
+      } else true
+    val byBloom = !bloomUsable || c.bloom.forall { b =>
+      graft.core.Bloom.deserializeTagged(b)._2.mightContain(bloomH1, bloomH2)
+    }
+    byRange && byBloom
+  }
+
+  /** Chunk [min,max] vs [lo,hi] in a parsed space; any parse failure or
+    * absent stat keeps the chunk. hi == null means +∞ (open above).
+    */
+  private def overlap[T](c: EncodedChunk, parse: String => T, lo: T, hi: T)
+                        (implicit ord: Ordering[T]): Boolean =
+    try {
+      val below = hi != null && c.min_val.exists(m => ord.gt(parse(m), hi))
+      val above = c.max_val.exists(m => ord.lt(parse(m), lo))
+      !(below || above)
+    } catch { case _: Exception => true }
+}
+
+object PrunePred {
+  /** Resolve a source Filter against the written spec; None when the
+    * column's stat space can't act on the value type (still correct —
+    * the filter stays residual).
+    */
+  def from(f: Filter, specs: Array[ColumnSpec]): Option[PrunePred] = {
+    val (attr, v, lo, hi) = f match {
+      case EqualTo(a, x)            => (a, x, true, true)
+      case GreaterThan(a, x)        => (a, x, true, false)
+      case GreaterThanOrEqual(a, x) => (a, x, true, false)
+      case LessThan(a, x)           => (a, x, false, true)
+      case LessThanOrEqual(a, x)    => (a, x, false, true)
+      case _                        => return None
+    }
+    val spec = specs.find(_.name.equalsIgnoreCase(attr)).getOrElse(return None)
+    val eq = lo && hi
+
+    def longPred(value: Long, h: Option[(Long, Long)]): PrunePred =
+      PrunePred(spec.name, spec.logical,
+        if (lo) value else Long.MinValue, if (hi) value else Long.MaxValue, longUsable = true,
+        0, 0, doubleUsable = false, None, None,
+        if (lo) value else Long.MinValue, if (hi) value else Long.MaxValue, strideUsable = true,
+        h.map(_._1).getOrElse(0L), h.map(_._2).getOrElse(0L), bloomUsable = h.isDefined)
+
+    spec.logical match {
+      case "long" =>
+        val value = v match {
+          case n: Long => n; case n: Int => n.toLong; case n: Short => n.toLong
+          case n: Byte => n.toLong; case _ => return None
+        }
+        Some(longPred(value, if (eq) Some(graft.core.Bloom.hashPairLong(value)) else None))
+      case "date" =>
+        val days = v match {
+          case d: java.sql.Date       => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+          case _                      => return None
+        }
+        Some(longPred(days, None))
+      case "timestamp" | "timestamp_ntz" =>
+        val micros = v match {
+          case t: java.sql.Timestamp      => DateTimeUtils.fromJavaTimestamp(t)
+          case t: java.time.Instant       => DateTimeUtils.instantToMicros(t)
+          case t: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(t)
+          case _                          => return None
+        }
+        Some(longPred(micros, None))
+      case "decimal" =>
+        val mantissa = v match {
+          case d: java.math.BigDecimal =>
+            val sc = spec.narrow.split(',')(1).toInt
+            try d.setScale(sc).unscaledValue().longValueExact()
+            catch { case _: ArithmeticException => return None }
+          case _ => return None
+        }
+        Some(longPred(mantissa, None))
+      case "double" | "float" =>
+        val value = v match {
+          case d: Double => d; case d: Float => d.toDouble; case _ => return None
+        }
+        // stride bits mirror decodePrunedDouble: signed-zero lo widened,
+        // float bounds rounded outward to enclosing representables
+        val (sLo, sHi) =
+          if (spec.logical == "double")
+            (if (lo && value == 0.0) -1L
+             else if (lo) TableEncoder.doubleSortableBits(value) else Long.MinValue,
+             if (hi) TableEncoder.doubleSortableBits(value) else Long.MaxValue)
+          else {
+            var lf = value.toFloat; if (lf.toDouble > value) lf = Math.nextDown(lf)
+            var hf = value.toFloat; if (hf.toDouble < value) hf = Math.nextUp(hf)
+            (if (lo && lf == 0.0f) -1L
+             else if (lo) TableEncoder.floatSortableBits(lf) else Long.MinValue,
+             if (hi) TableEncoder.floatSortableBits(hf) else Long.MaxValue)
+          }
+        Some(PrunePred(spec.name, spec.logical, 0, 0, longUsable = false,
+          if (lo) value else Double.NegativeInfinity,
+          if (hi) value else Double.PositiveInfinity, doubleUsable = true,
+          None, None, sLo, sHi, strideUsable = true, 0, 0, bloomUsable = false))
+      case "string" =>
+        val s = v match { case x: String => x; case _ => return None }
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = if (eq) Some(graft.core.Bloom.hashPair(bytes)) else None
+        Some(PrunePred(spec.name, spec.logical, 0, 0, longUsable = false,
+          0, 0, doubleUsable = false,
+          if (lo) Some(s) else Some(""), if (hi) Some(s) else None,
+          if (lo) TableEncoder.stringPrefixFloor(bytes) else Long.MinValue,
+          if (hi) TableEncoder.stringPrefixCeil(bytes) else Long.MaxValue,
+          strideUsable = true,
+          h.map(_._1).getOrElse(0L), h.map(_._2).getOrElse(0L), bloomUsable = h.isDefined))
+      case "binary" if eq =>
+        val bytes = v match { case b: Array[Byte] => b; case _ => return None }
+        val (h1, h2) = graft.core.Bloom.hashPair(bytes)
+        Some(PrunePred(spec.name, spec.logical, 0, 0, longUsable = false,
+          0, 0, doubleUsable = false, None, None,
+          0, 0, strideUsable = false, h1, h2, bloomUsable = true))
+      case _ => None
+    }
+  }
+}
+
+/** Hadoop Configuration is not Serializable; standard write/readFields
+  * envelope.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
+
+final case class GraftReaderFactory(specs: Array[ColumnSpec], emitEmptyRows: Boolean,
+                                    preds: Array[PrunePred], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], specs,
+      emitEmptyRows, preds, conf.value)
+}
+
+/** Decodes one partition's chunk files back to logical rows: parquet-mr
+  * record iteration (with a record filter so other columns' rows are
+  * skipped), adjacency/zip grouping into chunk groups, chunk-level
+  * stat+bloom pruning, then the same UnsafeRow decode core the DataFrame
+  * read paths use, re-typed to the logical schema by a codegen'd
+  * projection (micros→timestamp and UTF-8→string are layout reinterprets;
+  * mantissa→decimal via MakeDecimal; long→int-family casts).
+  */
+final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnSpec],
+                                 emitEmptyRows: Boolean, preds: Array[PrunePred],
+                                 conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val columnPartitioned = part.columns.nonEmpty
+  private val readers: Array[ParquetReader[Group]] = part.files.zipWithIndex.map {
+    case (f, i) =>
+      val b = ParquetReader.builder(new GroupReadSupport(), new Path(f)).withConf(conf)
+      // row-grouped layout: push `column IN (requested)` into parquet so
+      // other columns' records never assemble (dictionary/column-index
+      // pruning applies); column-partitioned files hold one column only
+      (if (columnPartitioned) b
+       else b.withFilter(FilterCompat.get(columnNameFilter))).build()
+  }
+  private def columnNameFilter: FilterPredicate =
+    specs.map(s => FilterApi.eq(FilterApi.binaryColumn("column"),
+        Binary.fromString(s.name)): FilterPredicate)
+      .reduce(FilterApi.or)
+
+  private val writer = new UnsafeRowWriter(specs.length)
+  private val toLogical: UnsafeProjection = {
+    val exprs: Seq[Expression] = specs.zipWithIndex.map { case (s, i) =>
+      def bound(dt: DataType) = BoundReference(i, dt, nullable = true)
+      s.logical match {
+        case "timestamp"     => bound(TimestampType)     // micros reinterpret
+        case "timestamp_ntz" => bound(TimestampNTZType)  // micros reinterpret
+        case "date"          => Cast(bound(LongType), IntegerType) // DateType stores int days
+        case "long" if s.narrow.nonEmpty =>
+          Cast(bound(LongType), s.narrow match {
+            case "int" => IntegerType
+            case "short" => org.apache.spark.sql.types.ShortType
+            case _ => org.apache.spark.sql.types.ByteType
+          })
+        case "long" => bound(LongType)
+        case "decimal" =>
+          val Array(p, sc) = s.narrow.split(',').map(_.toInt)
+          MakeDecimal(bound(LongType), p, sc, nullOnOverflow = false)
+        case "string"     => bound(StringType) // UTF-8 bytes reinterpret
+        case "decimal128" =>
+          val Array(p, sc) = s.narrow.split(',').map(_.toInt)
+          bound(DecimalType(p, sc))
+        case "bool"   => bound(org.apache.spark.sql.types.BooleanType)
+        case "double" => bound(org.apache.spark.sql.types.DoubleType)
+        case "float"  => bound(org.apache.spark.sql.types.FloatType)
+        case _        => bound(org.apache.spark.sql.types.BinaryType)
+      }
+    }.toSeq
+    UnsafeProjection.create(if (emitEmptyRows) Seq.empty[Expression] else exprs)
+  }
+
+  private val stridePrune: Option[(String, Long, Long)] =
+    preds.find(_.strideUsable).map(p => (p.column, p.strideLo, p.strideHi))
+
+  private var pendingFirst: Option[Group] = None // row-grouped lookahead
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (!rows.hasNext) {
+      val group = nextGroup()
+      if (group == null) return false
+      if (preds.forall(p => group.get(p.column).forall(p.keepsChunk)))
+        rows = TableEncoder.decodeChunkInternalRows(
+          group.map { case (k, v) => k -> v }, specs, writer, stridePrune)
+    }
+    current = toLogical(rows.next())
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = readers.foreach(_.close())
+
+  /** Next complete chunk group, or null at end of partition. */
+  private def nextGroup(): Map[String, EncodedChunk] =
+    if (columnPartitioned) {
+      // zip: one record per column file, aligned by writer-task order
+      val first = readers(0).read()
+      if (first == null) {
+        require(readers.drop(1).forall(_.read() == null),
+          "column files misaligned: trailing chunks in a sibling column file")
+        null
+      } else {
+        val chunks = new Array[EncodedChunk](specs.length)
+        chunks(0) = ChunkGroupParser.parse(first, Some(part.columns.head))
+        var i = 1
+        while (i < readers.length) {
+          val g = readers(i).read()
+          require(g != null, s"column file for ${part.columns(i)} ended early")
+          chunks(i) = ChunkGroupParser.parse(g, Some(part.columns(i)))
+          require(chunks(i).part_id == chunks(0).part_id &&
+            chunks(i).chunk_id == chunks(0).chunk_id,
+            s"column files misaligned at (${chunks(0).part_id},${chunks(0).chunk_id}) " +
+              s"vs (${chunks(i).part_id},${chunks(i).chunk_id}) — use EncodeJob.readBack")
+          i += 1
+        }
+        chunks.map(c => c.column -> c).toMap
+      }
+    } else {
+      // adjacency: requested columns of one (part_id, chunk_id) are
+      // consecutive (writer invariant; other columns are filtered out by
+      // the parquet record filter)
+      val first = pendingFirst.orElse(Option(readers(0).read())).orNull
+      pendingFirst = None
+      if (first == null) null
+      else {
+        val acc = scala.collection.mutable.Map[String, EncodedChunk]()
+        val head = ChunkGroupParser.parse(first, None)
+        acc(head.column) = head
+        var done = false
+        while (acc.size < specs.length && !done) {
+          val g = readers(0).read()
+          if (g == null) done = true
+          else {
+            val c = ChunkGroupParser.parse(g, None)
+            if (c.part_id == head.part_id && c.chunk_id == head.chunk_id) acc(c.column) = c
+            else { pendingFirst = Some(g); done = true }
+          }
+        }
+        require(acc.size == specs.length,
+          s"chunk (${head.part_id},${head.chunk_id}) missing columns " +
+            s"${specs.map(_.name).filterNot(acc.contains).mkString(",")} — " +
+            "externally rewritten files? use EncodeJob.readBack")
+        acc.toMap
+      }
+    }
+}
+
+/** parquet-mr Group → EncodedChunk, tolerant of missing fields (older
+  * engine versions) exactly like EncodeJob.withChunkSchema's null-fill.
+  */
+object ChunkGroupParser {
+  def parse(g: Group, partitionColumn: Option[String]): EncodedChunk = {
+    def has(name: String): Boolean =
+      g.getType.containsField(name) && g.getFieldRepetitionCount(name) > 0
+    def optString(name: String): Option[String] =
+      if (has(name)) Some(g.getString(name, 0)) else None
+    def optLong(name: String): Option[Long] =
+      if (has(name)) Some(g.getLong(name, 0)) else None
+    def longList(name: String): Option[Seq[Long]] =
+      if (!has(name)) None
+      else {
+        val lst = g.getGroup(name, 0)
+        val n = lst.getFieldRepetitionCount("list")
+        Some((0 until n).map(i => lst.getGroup("list", i).getLong("element", 0)))
+      }
+    def intList(name: String): Option[Seq[Int]] =
+      if (!has(name)) None
+      else {
+        val lst = g.getGroup(name, 0)
+        val n = lst.getFieldRepetitionCount("list")
+        Some((0 until n).map(i => lst.getGroup("list", i).getInteger("element", 0)))
+      }
+    val streams: Map[String, Array[Byte]] =
+      if (!has("streams")) Map.empty
+      else {
+        val m = g.getGroup("streams", 0)
+        val n = m.getFieldRepetitionCount("key_value")
+        (0 until n).map { i =>
+          val kv = m.getGroup("key_value", i)
+          val bytes =
+            if (kv.getFieldRepetitionCount("value") > 0) kv.getBinary("value", 0).getBytes
+            else Array.empty[Byte]
+          kv.getString("key", 0) -> bytes
+        }.toMap
+      }
+    val segLens: Option[Map[String, Seq[Int]]] =
+      if (!has("seg_lens")) None
+      else {
+        val m = g.getGroup("seg_lens", 0)
+        val n = m.getFieldRepetitionCount("key_value")
+        Some((0 until n).map { i =>
+          val kv = m.getGroup("key_value", i)
+          val lens =
+            if (kv.getFieldRepetitionCount("value") == 0) Seq.empty[Int]
+            else {
+              val lst = kv.getGroup("value", 0)
+              (0 until lst.getFieldRepetitionCount("list"))
+                .map(j => lst.getGroup("list", j).getInteger("element", 0))
+            }
+          kv.getString("key", 0) -> lens
+        }.toMap)
+      }
+    EncodedChunk(
+      part_id = g.getInteger("part_id", 0),
+      chunk_id = g.getInteger("chunk_id", 0),
+      first_row = g.getLong("first_row", 0),
+      column = partitionColumn.orElse(optString("column")).getOrElse(
+        throw new IllegalArgumentException("chunk row lacks a column name")),
+      codec = optString("codec").getOrElse(""),
+      row_count = g.getInteger("row_count", 0),
+      null_count = g.getInteger("null_count", 0),
+      streams = streams,
+      raw_bytes = g.getLong("raw_bytes", 0),
+      encoded_bytes = g.getLong("encoded_bytes", 0),
+      min_val = optString("min_val"),
+      max_val = optString("max_val"),
+      sum_val = optLong("sum_val"),
+      stride_rows = if (g.getType.containsField("stride_rows")) g.getInteger("stride_rows", 0) else 0,
+      stride_mins = longList("stride_mins"),
+      stride_maxs = longList("stride_maxs"),
+      compression = optString("compression"),
+      seg_lens = segLens,
+      stride_null_counts = intList("stride_null_counts"),
+      bloom = if (has("bloom")) Some(g.getBinary("bloom", 0).getBytes) else None)
+  }
+}
