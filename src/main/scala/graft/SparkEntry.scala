@@ -140,14 +140,16 @@ object SparkEntry {
       OrcInterop.readOrcFile(s, out).orderBy(li.columns.map(col).toIndexedSeq: _*)
     }),
 
-    // the DataSource V2 surface end-to-end (spark.read.format("graft")):
-    // encode through the product write path, then read back through the
+    // the DataSource V2 surface end-to-end: write through
+    // df.write.format("graft") (Append/Overwrite ride the V1Write
+    // fallback so the full EncodeJob pipeline — codec pinning, salting,
+    // atomic manifest commit — applies), then read back through the
     // registered source with a pushed date filter and a pruned
     // projection — schema inferred from disk, filters residual-exact
     "rt_source" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
       val out = java.nio.file.Files.createTempDirectory("graft-dsv2-rt").toString
-      EncodeJob.run(li, EncodeJob.Config(out, numPartitions = 4, keyColumn = None))
+      li.write.format("graft").mode("overwrite").option("numPartitions", "4").save(out)
       s.read.format("graft").load(out)
         .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")

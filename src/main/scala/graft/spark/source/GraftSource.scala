@@ -10,15 +10,16 @@ import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.io.api.Binary
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, MakeDecimal, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -51,7 +52,8 @@ import scala.jdk.CollectionConverters._
   * happens at FILE granularity before anything is opened).
   */
 final class GraftSource extends TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with CreatableRelationProvider {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = true
 
@@ -69,17 +71,142 @@ final class GraftSource extends TableProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new GraftTable(properties.get("path"), schema)
+    new GraftTable(properties.get("path"), schema,
+      new CaseInsensitiveStringMap(properties))
+
+  /** ErrorIfExists/Ignore arrive through Spark's V1 fallback (a
+    * TableProvider without native BATCH_WRITE routes create-style saves
+    * here); Append/Overwrite go through the V2 WriteBuilder below. Both
+    * funnel into GraftWriteSupport so the semantics are identical.
+    */
+  override def createRelation(sqlContextArg: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val outDir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft sink needs a path: .save(<outDir>)"))
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val exists = EncodeJob.committedBatches(data.sparkSession, outDir).nonEmpty
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"$outDir already holds committed graft batches (mode=ErrorIfExists); " +
+            "use mode(\"append\") or mode(\"overwrite\")")
+      case SaveMode.Ignore if exists => // no-op by contract
+      case SaveMode.Overwrite        => GraftWriteSupport.insert(data, outDir, opts, overwrite = true)
+      case _                         => GraftWriteSupport.insert(data, outDir, opts, overwrite = false)
+    }
+    new BaseRelation { // save() discards it; schema-only stub
+      override def sqlContext: SQLContext = sqlContextArg
+      override def schema: StructType = data.schema
+    }
+  }
 }
 
-final class GraftTable(outDir: String, logicalSchema: StructType)
-    extends Table with SupportsRead {
+final class GraftTable(outDir: String, logicalSchema: StructType,
+                       options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$outDir"
   override def schema(): StructType = logicalSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(outDir, logicalSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(outDir, info.options())
+}
+
+/** `df.write.format("graft")` — Append/Overwrite as a V1Write fallback
+  * (the InsertableRelation route Spark's own JDBC source shipped on for
+  * years): the sink receives the WHOLE DataFrame, so the full EncodeJob
+  * pipeline applies unchanged — reservoir codec pinning, skew salting,
+  * atomic manifest commit, layout options. A row-at-a-time V2 DataWriter
+  * would have to give all of that up (per-task codec choices, no global
+  * skew histogram), i.e. the fallback is the better architecture here,
+  * not a shortcut.
+  */
+final class GraftWriteBuilder(outDir: String, options: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwriteParam: Boolean): Unit =
+        GraftWriteSupport.insert(data, outDir, options,
+          overwrite = overwrite || overwriteParam)
+    }
+  }
+}
+
+object GraftWriteSupport {
+  /** Writer options (all optional): numPartitions, keyColumn, saltColumn,
+    * compression (zlib|zstd|lz4|none), segmented, alignedEncoding,
+    * strideRows, chunkTargetBytes, commitBatches, sampleRows,
+    * bloomColumns (comma-separated), partitionByColumn.
+    */
+  def configFrom(outDir: String, o: CaseInsensitiveStringMap,
+                 spark: SparkSession): EncodeJob.Config = {
+    val d = EncodeJob.Config(outDir, numPartitions = 0, keyColumn = None)
+    def opt(k: String): Option[String] = Option(o.get(k)).filter(_.nonEmpty)
+    EncodeJob.Config(
+      outDir = outDir,
+      // default follows the documented sizing rule: one file per encode
+      // task and ~3× the expected read parallelism
+      numPartitions = opt("numPartitions").map(_.toInt)
+        .getOrElse(3 * spark.sparkContext.defaultParallelism),
+      keyColumn = opt("keyColumn"),
+      sampleRows = opt("sampleRows").map(_.toInt).getOrElse(d.sampleRows),
+      strideRows = opt("strideRows").map(_.toInt).getOrElse(d.strideRows),
+      chunkTargetBytes = opt("chunkTargetBytes").map(_.toLong).getOrElse(d.chunkTargetBytes),
+      commitBatches = opt("commitBatches").map(_.toInt).getOrElse(d.commitBatches),
+      saltColumn = opt("saltColumn"),
+      alignedEncoding = opt("alignedEncoding").exists(_.toBoolean),
+      compression = opt("compression").getOrElse(d.compression),
+      segmented = opt("segmented").forall(_.toBoolean),
+      bloomColumns = opt("bloomColumns").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty),
+      partitionByColumn = opt("partitionByColumn").exists(_.toBoolean))
+  }
+
+  def insert(data: DataFrame, outDir: String, options: CaseInsensitiveStringMap,
+             overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    val cfg = configFrom(outDir, options, spark)
+    val path = new Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    if (overwrite) {
+      fs.delete(path, /* recursive */ true)
+      EncodeJob.run(data, cfg)
+      return
+    }
+
+    val manifest = {
+      val m = new Path(EncodeJob.manifestDir(outDir))
+      if (fs.exists(m)) Some(spark.read.parquet(EncodeJob.manifestDir(outDir))) else None
+    }
+    val committed = manifest.map(
+      _.select("batch_id").distinct().collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
+    if (committed.isEmpty) { EncodeJob.run(data, cfg); return }
+
+    // append onto live data: schema and layout must match what readers
+    // already see — fail loud rather than silently corrupt the dir
+    EncodeJob.schemaFromDisk(spark, outDir).foreach { onDisk =>
+      require(onDisk == data.schema,
+        s"append schema mismatch for $outDir:\n  on disk: $onDisk\n  appending: ${data.schema}")
+    }
+    require(EncodeJob.isColumnPartitioned(spark, outDir) == cfg.partitionByColumn,
+      s"append layout mismatch for $outDir: dir partitionByColumn=" +
+        s"${EncodeJob.isColumnPartitioned(spark, outDir)}, write option says ${cfg.partitionByColumn}")
+
+    // the next batch id must ALSO clear every existing part_id: decode
+    // groups chunks by (part_id, chunk_id) across batches, and runBatch
+    // offsets part_ids by batchId × numPartitions — an append with fewer
+    // partitions than an earlier write would otherwise collide
+    val maxPart = manifest.get.agg(org.apache.spark.sql.functions.max("part_id"))
+      .collect()(0).getInt(0)
+    val batchId = math.max(committed.max + 1, maxPart / cfg.numPartitions + 1)
+    EncodeJob.runBatch(data, cfg, batchId, manifest)
+  }
 }
 
 final class GraftScanBuilder(outDir: String, logicalSchema: StructType)
@@ -114,7 +241,31 @@ final class GraftScanBuilder(outDir: String, logicalSchema: StructType)
 
 final class GraftScan(outDir: String, logicalSchema: StructType,
                       required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** Manifest-derived stats so Catalyst sizes joins correctly: numRows is
+    * exact (committed manifest rows); sizeInBytes is the DECODED bytes of
+    * the requested columns (raw manifest bytes × column fraction — the
+    * quantity Spark compares against the broadcast threshold). Metadata
+    * only, no chunk reads.
+    */
+  override def estimateStatistics(): Statistics = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val committed = EncodeJob.committedBatches(spark, outDir)
+    val agg = spark.read.parquet(EncodeJob.manifestDir(outDir))
+      .filter(col("batch_id").isin(committed.toSeq: _*))
+      .agg(sum("row_count"), sum("raw_bytes")).collect()(0)
+    val rows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val raw = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val colFraction =
+      if (logicalSchema.fields.isEmpty) 1.0
+      else math.max(1, emitColumns.size).toDouble / logicalSchema.fields.length
+    val size = math.max(1L, (raw * colFraction).toLong)
+    new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(size)
+      override def numRows() = java.util.OptionalLong.of(rows)
+    }
+  }
 
   // count(*)-style scans still need row cardinality: decode the cheapest
   // written column and project it away (same cost ladder as

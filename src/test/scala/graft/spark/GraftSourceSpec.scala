@@ -139,4 +139,69 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("readBack(spark, outDir) recovers schema and specs from disk alone") {
     assert(canon(EncodeJob.readBack(spark, rowOut)) sameElements canon(alltypes))
   }
+
+  test("format(graft): manifest-derived statistics reach the optimizer and shrink with pruning") {
+    def stats(df: DataFrame) = {
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+      }.head
+    }
+    val full = stats(spark.read.format("graft").load(rowOut))
+    assert(full.rowCount.exists(_.toLong == alltypes.count()), full.toString)
+    val pruned = stats(spark.read.format("graft").load(rowOut).select("l_orderkey"))
+    assert(pruned.sizeInBytes < full.sizeInBytes,
+      s"column pruning did not shrink sizeInBytes: $pruned vs $full")
+  }
+
+  // ---------- write path: df.write.format("graft") ----------
+
+  test("write(graft): overwrite then read back equals input; options reach the encoder") {
+    val out = s"$tmp/w-overwrite"
+    alltypes.write.format("graft").mode("overwrite")
+      .option("numPartitions", "4").option("compression", "zstd")
+      .option("bloomColumns", "v_string").save(out)
+    assert(canon(spark.read.format("graft").load(out)) sameElements canon(alltypes))
+    // the compression option reached the chunks
+    val kinds = spark.read.parquet(s"$out/chunks").select("compression")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("zstd"), kinds.toString)
+    // second overwrite replaces, not accumulates
+    alltypes.limit(10).write.format("graft").mode("overwrite")
+      .option("numPartitions", "2").save(out)
+    assert(spark.read.format("graft").load(out).count() == 10)
+  }
+
+  test("write(graft): append adds a committed batch; fewer partitions cannot collide part_ids") {
+    val out = s"$tmp/w-append"
+    alltypes.write.format("graft").mode("overwrite").option("numPartitions", "4").save(out)
+    val n = alltypes.count()
+    // append with FEWER partitions than the first write — the part_id
+    // offset guard must keep (part_id, chunk_id) globally unique
+    alltypes.write.format("graft").mode("append").option("numPartitions", "2").save(out)
+    val doubled = spark.read.format("graft").load(out)
+    assert(doubled.count() == 2 * n)
+    assert(EncodeJob.committedBatches(spark, out).size == 2)
+    val perChunkCols = spark.read.parquet(s"$out/chunks")
+      .groupBy("part_id", "chunk_id", "column").count()
+      .filter(col("count") > 1).count()
+    assert(perChunkCols == 0, "part_id collision across appended batches")
+    // values appear exactly twice
+    assert(canon(doubled) sameElements (canon(alltypes) ++ canon(alltypes)).sorted)
+  }
+
+  test("write(graft): default mode refuses an existing dir, ignore is a no-op, append guards schema") {
+    val out = s"$tmp/w-modes"
+    alltypes.write.format("graft").option("numPartitions", "2").save(out) // fresh: ok
+    val n = spark.read.format("graft").load(out).count()
+    intercept[Exception] { // ErrorIfExists (possibly wrapped by Spark)
+      alltypes.write.format("graft").option("numPartitions", "2").save(out)
+    }
+    alltypes.write.format("graft").mode("ignore").option("numPartitions", "2").save(out)
+    assert(spark.read.format("graft").load(out).count() == n)
+    val mismatched = alltypes.withColumnRenamed("v_string", "renamed")
+    val e = intercept[Exception] {
+      mismatched.write.format("graft").mode("append").option("numPartitions", "2").save(out)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("schema mismatch"), e.getMessage)
+  }
 }
