@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -227,6 +227,9 @@ final class GraftScanBuilder(outDir: String, logicalSchema: StructType)
       case GreaterThanOrEqual(a, v) => supported(a, v)
       case LessThan(a, v)           => supported(a, v)
       case LessThanOrEqual(a, v)    => supported(a, v)
+      case In(a, vs)                => vs.nonEmpty && vs.forall(supported(a, _))
+      case IsNotNull(a)             => supported(a, "")
+      case IsNull(a)                => supported(a, "")
       case _                        => false
     }
     filters
@@ -335,7 +338,7 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
-    val preds = pushed.flatMap(PrunePred.from(_, specs))
+    val preds = pushed.flatMap(ChunkPrune.from(_, specs))
     GraftReaderFactory(specs, required.fields.isEmpty, preds,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
   }
@@ -343,6 +346,36 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
 
 final case class GraftInputPartition(files: Array[String], columns: Seq[String])
     extends InputPartition
+
+/** A chunk-level pruning decision derived from one pushed Filter. All
+  * implementations are conservative (keep on any doubt) — correctness
+  * comes from Spark re-applying the exact residual filter above the scan.
+  */
+sealed trait ChunkPrune extends Serializable {
+  def column: String
+  def keepsChunk(c: EncodedChunk): Boolean
+  /** Sub-chunk stride-skip bounds in the stride index's long space, when
+    * this predicate can drive one.
+    */
+  def strideBounds: Option[(Long, Long)] = None
+}
+
+/** IsNotNull: an all-null chunk can contribute no matching rows. */
+final case class NotNullPrune(column: String) extends ChunkPrune {
+  override def keepsChunk(c: EncodedChunk): Boolean = c.null_count < c.row_count
+}
+
+/** IsNull: a null-free chunk can contribute no matching rows. */
+final case class NullOnlyPrune(column: String) extends ChunkPrune {
+  override def keepsChunk(c: EncodedChunk): Boolean = c.null_count > 0
+}
+
+/** In(col, values): keep the chunk if ANY value might be present —
+  * per-value min/max range + bloom probes, OR-combined.
+  */
+final case class AnyOfPrune(column: String, alts: Array[PrunePred]) extends ChunkPrune {
+  override def keepsChunk(c: EncodedChunk): Boolean = alts.exists(_.keepsChunk(c))
+}
 
 /** One pushed comparison, pre-resolved on the driver into the spaces the
   * chunk metadata speaks: the stat-string space for chunk-level min/max,
@@ -356,7 +389,10 @@ final case class PrunePred(column: String, logical: String,
                            loStr: Option[String], hiStr: Option[String],
                            strideLo: Long, strideHi: Long, strideUsable: Boolean,
                            bloomH1: Long, bloomH2: Long, bloomUsable: Boolean)
-    extends Serializable {
+    extends ChunkPrune {
+
+  override def strideBounds: Option[(Long, Long)] =
+    if (strideUsable) Some((strideLo, strideHi)) else None
 
   def keepsChunk(c: EncodedChunk): Boolean = {
     val byRange =
@@ -386,8 +422,27 @@ final case class PrunePred(column: String, logical: String,
     } catch { case _: Exception => true }
 }
 
+object ChunkPrune {
+  /** Resolve a source Filter into a chunk-pruning decision; None when the
+    * stat space can't act on it (still correct — the filter stays
+    * residual above the scan).
+    */
+  def from(f: Filter, specs: Array[ColumnSpec]): Option[ChunkPrune] = f match {
+    case IsNotNull(a) =>
+      specs.find(_.name.equalsIgnoreCase(a)).map(s => NotNullPrune(s.name))
+    case IsNull(a) =>
+      specs.find(_.name.equalsIgnoreCase(a)).map(s => NullOnlyPrune(s.name))
+    case In(a, vs) if vs.nonEmpty =>
+      // all alternatives must resolve, else the disjunction is unsound
+      val alts = vs.map(v => PrunePred.from(EqualTo(a, v), specs))
+      if (alts.forall(_.isDefined)) Some(AnyOfPrune(alts.head.get.column, alts.map(_.get)))
+      else None
+    case _ => PrunePred.from(f, specs)
+  }
+}
+
 object PrunePred {
-  /** Resolve a source Filter against the written spec; None when the
+  /** Resolve a single comparison against the written spec; None when the
     * column's stat space can't act on the value type (still correct —
     * the filter stays residual).
     */
@@ -498,7 +553,7 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
 }
 
 final case class GraftReaderFactory(specs: Array[ColumnSpec], emitEmptyRows: Boolean,
-                                    preds: Array[PrunePred], conf: SerializableHadoopConf)
+                                    preds: Array[ChunkPrune], conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], specs,
@@ -514,7 +569,7 @@ final case class GraftReaderFactory(specs: Array[ColumnSpec], emitEmptyRows: Boo
   * mantissa→decimal via MakeDecimal; long→int-family casts).
   */
 final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnSpec],
-                                 emitEmptyRows: Boolean, preds: Array[PrunePred],
+                                 emitEmptyRows: Boolean, preds: Array[ChunkPrune],
                                  conf: Configuration)
     extends PartitionReader[InternalRow] {
 
@@ -565,7 +620,8 @@ final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnS
   }
 
   private val stridePrune: Option[(String, Long, Long)] =
-    preds.find(_.strideUsable).map(p => (p.column, p.strideLo, p.strideHi))
+    preds.iterator.flatMap(p => p.strideBounds.map(b => (p.column, b._1, b._2)))
+      .nextOption()
 
   private var pendingFirst: Option[Group] = None // row-grouped lookahead
   private var rows: Iterator[InternalRow] = Iterator.empty

@@ -140,6 +140,31 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(EncodeJob.readBack(spark, rowOut)) sameElements canon(alltypes))
   }
 
+  test("format(graft): In and null-test pushdown prune, stay exact on nullable data") {
+    // half the chunks all-null, half null-free, banded key → every prune
+    // class (null-count, range, bloom-disjunction) gets exercised
+    val src0 = spark.range(8000).select(col("id"),
+      (col("id") / 2000).cast("int").cast("string").as("band"),
+      when(col("id") % 4000 < 2000, concat(lit("v"), col("id"))).as("v_nullable"))
+    val out = s"$tmp/nullable"
+    EncodeJob.run(src0, EncodeJob.Config(out, numPartitions = 2, keyColumn = Some("band")))
+    val src = spark.read.format("graft").load(out)
+    def check(f: DataFrame => DataFrame): Unit =
+      assert(canon2(f(src)) sameElements canon2(f(src0)), f(src).columns.mkString(","))
+    check(_.filter(col("v_nullable").isNull))
+    check(_.filter(col("v_nullable").isNotNull))
+    check(_.filter(col("id").isin(17L, 3999L, 7777L)))
+    check(_.filter(col("v_nullable").isin("v17", "v1999", "nope")))
+    // IN over a banded id column decompresses less than the full scan
+    graft.core.BlockCompression.resetCounters()
+    assert(src.filter(col("id").isin(1L, 2L)).select(sum("id")).first().getLong(0) == 3L)
+    val pruned = graft.core.BlockCompression.decompressInputBytes
+    graft.core.BlockCompression.resetCounters()
+    src.select(sum("id")).first()
+    val full = graft.core.BlockCompression.decompressInputBytes
+    assert(pruned < full, s"IN pushdown not pruning: $pruned vs $full")
+  }
+
   test("format(graft): manifest-derived statistics reach the optimizer and shrink with pruning") {
     def stats(df: DataFrame) = {
       df.queryExecution.optimizedPlan.collect {
