@@ -277,6 +277,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the stats-merge story as a TRANSPARENT Catalyst feature: ungrouped
+    // MIN/MAX/COUNT over the DataSource V2 surface are answered from
+    // chunk metadata alone (SupportsPushDownAggregates, partial partials
+    // merged by Spark's final aggregate) — the stream blobs are never
+    // read, and the query hard-gates on that (decompressInputBytes == 0)
+    "q_source_agg" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val out = java.nio.file.Files.createTempDirectory("graft-dsv2-agg").toString
+      li.write.format("graft").mode("overwrite").option("numPartitions", "4").save(out)
+      val res = s.read.format("graft").load(out).agg(
+        min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
+        count(col("l_orderkey")).as("n_rows"),
+        min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"),
+        min(col("l_returnflag")).as("min_flag"), max(col("l_linestatus")).as("max_status"))
+      // hard gate: the answer must come from metadata alone — any blob
+      // decompression means the pushdown silently disengaged
+      graft.core.BlockCompression.resetCounters()
+      res.collect()
+      require(graft.core.BlockCompression.decompressInputBytes == 0,
+        "q_source_agg: aggregate pushdown disengaged — stream blobs were decompressed")
+      res
+    }),
+
     // the reference's stats-merge (stride→stripe→file, SURVEY §2.5): the
     // query is answered from CHUNK METADATA ONLY — the streams blobs are
     // never decoded — and must equal the oracle's full scan
@@ -648,6 +671,12 @@ object SparkEntry {
         |   ELSE length(list_intersect(a.grams, b.grams))::DOUBLE / length(list_distinct(a.grams || b.grams)) END, 6) AS jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
+    "q_source_agg" ->
+      """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        | count(l_orderkey) AS n_rows,
+        | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        | min(l_returnflag) AS min_flag, max(l_linestatus) AS max_status
+        |FROM lineitem""".stripMargin,
     "q_stats_merge" ->
       """SELECT 'l_orderkey' AS col_name, min(l_orderkey) AS mn, max(l_orderkey) AS mx,
         |   CAST(sum(l_orderkey) AS BIGINT) AS sm, count(l_orderkey) AS n_vals FROM lineitem

@@ -152,6 +152,29 @@ object EncodeJob {
     * batch ids, which prunes orphan dirs at the scan).
     */
   def chunkBatchDir(outDir: String, batchId: Int) = s"${chunkDir(outDir)}/batch=$batchId"
+  def filestatsDir(outDir: String) = s"$outDir/filestats"
+  def filestatsBatchDir(outDir: String, batchId: Int) = s"${filestatsDir(outDir)}/batch=$batchId"
+
+  /** File-level pruning sidecar: per (chunk, column) stats PLUS the chunk
+    * FILE that holds it — written from the batch's chunk parquet metadata
+    * columns only (the heavy `streams` stay unread). The DataSource V2
+    * scan consults it at plan time so selective filters and join-driven
+    * runtime filters skip whole files without ever opening them — the
+    * partition-pruning story for a layout whose "partitions" are chunk
+    * files. Written before the manifest commit so a committed batch always
+    * has its sidecar; absent sidecars (older dirs) just mean no file-level
+    * pruning, chunk-level pruning still applies after open.
+    */
+  private def writeFileStats(spark: SparkSession, outDir: String, batchId: Int): Unit = {
+    // normalize to a scheme-less path so plan-time listings (file:/x) and
+    // input_file_name (file:///x, URL-encoded) compare equal
+    val normalize = udf((s: String) => new org.apache.hadoop.fs.Path(s).toUri.getPath)
+    spark.read.parquet(chunkBatchDir(outDir, batchId))
+      .select(col("part_id"), col("chunk_id"), col("column"),
+        col("min_val"), col("max_val"), col("null_count"), col("row_count"),
+        col("bloom"), normalize(input_file_name()).as("file"))
+      .write.mode(SaveMode.Overwrite).parquet(filestatsBatchDir(outDir, batchId))
+  }
 
   /** Batch ids whose manifest rows are committed — the only batches a
     * reader may decode. Empty when no manifest exists yet.
@@ -266,6 +289,7 @@ object EncodeJob {
     // Overwrite into the batch-scoped dir: a replay of a half-written
     // batch replaces the orphan files instead of appending duplicates
     writeChunks(chunks, cfg, batchId)
+    writeFileStats(spark, cfg.outDir, batchId)
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
     val summary = spark.read.parquet(chunkBatchDir(cfg.outDir, batchId))
@@ -334,6 +358,7 @@ object EncodeJob {
         // replace its orphan files; the manifest append below is the
         // commit point
         writeChunks(chunks, cfg, b)
+        writeFileStats(spark, cfg.outDir, b)
         val wallMs = (System.nanoTime() - t0) / 1000000L
 
         // manifest rows from metadata columns only — parquet pruning keeps

@@ -7,20 +7,26 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
-import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, MakeDecimal, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, GenericInternalRow, MakeDecimal, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
@@ -210,11 +216,44 @@ object GraftWriteSupport {
 }
 
 final class GraftScanBuilder(outDir: String, logicalSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = logicalSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggSlots: Option[Array[AggSlot]] = None
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Partial limit: each partition stops decoding after `n` rows (Spark
+    * keeps the global Limit — isPartiallyPushed stays true). At scale this
+    * turns `df.limit(k)` from a full decode into ≤ one chunk per task.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+
+  /** Ungrouped MIN/MAX/COUNT answered from chunk statistics alone — the
+    * stream blobs are never read (parquet projection drops them), so a
+    * 100 TB `count(*)`/`min`/`max` costs metadata IO only. Partial
+    * pushdown: each chunk contributes one partial row; Spark's final
+    * aggregate merges them, so multi-batch/multi-file dirs need no
+    * driver-side merge logic here.
+    *
+    * Refused (→ Spark runs the normal scan) whenever exactness isn't
+    * guaranteed by the written stats: GROUP BY (chunks span groups),
+    * double/float min/max (chunk stats exclude NaN, which Spark sorts
+    * ABOVE every value), binary min/max (no value range recorded), SUM
+    * (saturating overflow-aware chunk sums can't reproduce Spark's
+    * ANSI/wrap overflow semantics), DISTINCT. Spark itself never offers
+    * aggregates here when filters stayed residual, so no interaction with
+    * filter pushdown (every graft filter is residual by design).
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty) return false
+    val resolved = aggregation.aggregateExpressions().map(AggSlot.from(_, logicalSchema))
+    if (resolved.isEmpty || resolved.exists(_.isEmpty)) return false
+    aggSlots = Some(resolved.map(_.get))
+    true
+  }
 
   /** Accept single-column comparisons the chunk statistics can act on;
     * everything is ALSO returned as residual (pruning keeps supersets —
@@ -239,12 +278,73 @@ final class GraftScanBuilder(outDir: String, logicalSchema: StructType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(outDir, logicalSchema, required, pushed)
+  override def build(): Scan =
+    new GraftScan(outDir, logicalSchema, required, pushed, aggSlots, limit)
+}
+
+/** One pushed aggregate function, resolved at plan time against the
+  * logical schema. `kind` ∈ countstar|count|min|max; `column` is the
+  * canonical field name (None for countstar); `outType` is the partial
+  * row's field type (the column's type for min/max, LongType for counts —
+  * exactly what Spark's rewritten final aggregate expects positionally).
+  */
+final case class AggSlot(kind: String, column: Option[String], outType: DataType)
+    extends Serializable
+
+object AggSlot {
+  def from(f: AggregateFunc, schema: StructType): Option[AggSlot] = f match {
+    case _: CountStar => Some(AggSlot("countstar", None, LongType))
+    case c: Count if !c.isDistinct =>
+      ref(c.column, schema).map(fd => AggSlot("count", Some(fd.name), LongType))
+    case m: Min =>
+      ref(m.column, schema).filter(minMaxExact)
+        .map(fd => AggSlot("min", Some(fd.name), fd.dataType))
+    case m: Max =>
+      ref(m.column, schema).filter(minMaxExact)
+        .map(fd => AggSlot("max", Some(fd.name), fd.dataType))
+    case _ => None
+  }
+
+  private def ref(e: org.apache.spark.sql.connector.expressions.Expression,
+                  schema: StructType): Option[StructField] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      schema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+    case _ => None
+  }
+
+  /** Types whose chunk min/max are EXACT under Spark's ordering. Excluded:
+    * double/float (the writer excludes NaN from the range, and Spark sorts
+    * NaN above +Inf — a chunk holding {1.0, NaN} records max=1.0, so MAX
+    * would be silently wrong); binary (length-sum only, no value range);
+    * non-binary string collations (chunk order is byte order).
+    */
+  private def minMaxExact(fd: StructField): Boolean = fd.dataType match {
+    case LongType | IntegerType | ShortType | ByteType | DateType |
+         TimestampType | TimestampNTZType | BooleanType | StringType => true
+    case _: DecimalType => true
+    case _ => false
+  }
 }
 
 final class GraftScan(outDir: String, logicalSchema: StructType,
-                      required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+                      required: StructType, pushed: Array[Filter],
+                      aggSlots: Option[Array[AggSlot]], limit: Int)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  /** Join-driven runtime pruning (DPP's DataSource V2 form): Spark
+    * collects the build side's keys at runtime and hands them back as IN
+    * predicates; they drive the same chunk-level min/max + Bloom pruning
+    * as statically-pushed filters. Superset-safe — the join re-checks
+    * exact keys — so every column is offered. Not offered in aggregate
+    * mode (metadata partials can't be filtered).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (aggSlots.isDefined) Array.empty
+    else logicalSchema.fields.map(f => Expressions.column(f.name))
+
+  private var runtimeFilters: Array[Filter] = Array.empty
+  override def filter(predicates: Array[Predicate]): Unit =
+    runtimeFilters = org.apache.spark.sql.graftbridge.Bridge.predicatesToV1(predicates)
 
   /** Manifest-derived stats so Catalyst sizes joins correctly: numRows is
     * exact (committed manifest rows); sizeInBytes is the DECODED bytes of
@@ -272,26 +372,99 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
 
   // count(*)-style scans still need row cardinality: decode the cheapest
   // written column and project it away (same cost ladder as
-  // TableEncoder.decodeColumns's all-missing driver)
-  private val emitColumns: Seq[String] =
-    if (required.fields.nonEmpty) required.fields.map(_.name).toSeq
-    else {
-      val cost = Map("bool" -> 0, "date" -> 1, "long" -> 2, "timestamp" -> 2,
-        "timestamp_ntz" -> 2, "decimal" -> 2, "float" -> 3, "double" -> 4,
-        "decimal128" -> 5, "string" -> 6, "binary" -> 7)
-      val specs = allSpecs
-      Seq(specs.minBy(sp => cost.getOrElse(sp.logical, 9)).name)
-    }
+  // TableEncoder.decodeColumns's all-missing driver). In aggregate mode
+  // the referenced columns' metadata is what gets read (cheapest column's
+  // when the push is pure COUNT(*)).
+  private val emitColumns: Seq[String] = aggSlots match {
+    case Some(slots) =>
+      val cols = slots.flatMap(_.column).distinct.toSeq
+      if (cols.nonEmpty) cols else Seq(cheapestColumn)
+    case None =>
+      if (required.fields.nonEmpty) required.fields.map(_.name).toSeq
+      else Seq(cheapestColumn)
+  }
+
+  private def cheapestColumn: String = {
+    val cost = Map("bool" -> 0, "date" -> 1, "long" -> 2, "timestamp" -> 2,
+      "timestamp_ntz" -> 2, "decimal" -> 2, "float" -> 3, "double" -> 4,
+      "decimal128" -> 5, "string" -> 6, "binary" -> 7)
+    allSpecs.minBy(sp => cost.getOrElse(sp.logical, 9)).name
+  }
 
   private def spark = SparkSession.active
   private lazy val allSpecs: Array[ColumnSpec] =
     EncodeJob.specsFromManifest(spark, outDir, logicalSchema)
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggSlots match {
+    case Some(slots) => StructType(slots.zipWithIndex.map { case (s, i) =>
+      StructField(s"${s.kind}_${s.column.getOrElse("star")}_$i", s.outType, nullable = true)
+    }.toIndexedSeq)
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft $outDir ReadSchema: ${emitColumns.mkString(",")} " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      aggSlots.fold("")(s => s" PushedAggregates: [${s.map(a =>
+        s"${a.kind.toUpperCase}(${a.column.getOrElse("*")})").mkString(", ")}]") +
+      (if (limit >= 0) s" PushedLimit: $limit" else "")
+
+  /** Pruning decisions for the current (static + runtime) filter set. */
+  private def activePreds: Array[ChunkPrune] = {
+    val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
+    (pushed ++ runtimeFilters).flatMap(ChunkPrune.from(_, specs))
+  }
+
+  /** PLAN-time file pruning from the filestats sidecar: a file whose
+    * every chunk fails the predicates (same conservative keep logic as
+    * the read-side ChunkPrune, evaluated distributedly over the sidecar's
+    * metadata rows) is never opened — no footer read, no page IO. Chunk
+    * keep is decided per (part_id, chunk_id) ACROSS columns first, so on
+    * the column-partitioned layout a predicate on one column prunes the
+    * sibling column files of the same chunks too. Files without sidecar
+    * coverage (older dirs) default to kept.
+    */
+  private def fileKeep(preds: Array[ChunkPrune], committed: Set[Int]): Map[String, Boolean] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    if (preds.isEmpty) return Map.empty
+    val dir = new Path(EncodeJob.filestatsDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Map.empty
+    val predCols = preds.map(_.column).toSet
+    val rows = spark.read.parquet(dir.toString)
+      .filter(col("batch").isin(committed.toSeq: _*) &&
+        col("column").isin(predCols.toSeq: _*))
+    val chunkKeep = rows
+      .withColumn("k", preds.map(_.keepColumn).reduce(_ && _))
+      .groupBy(col("part_id"), col("chunk_id")).agg(min(col("k")).as("ck"))
+    rows.select("file", "part_id", "chunk_id").distinct()
+      .join(chunkKeep, Seq("part_id", "chunk_id"))
+      .groupBy(col("file")).agg(max(col("ck")).as("keep"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+  }
+
+  private def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Committed batches' sidecar parquet files — ONLY when every committed
+    * batch has a sidecar (a dir mixing pre-sidecar batches would silently
+    * under-count); empty means "use the chunk files".
+    */
+  private def filestatsFiles(committed: Set[Int]): Seq[String] = {
+    if (committed.isEmpty) return Seq.empty
+    val dir = new Path(EncodeJob.filestatsDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val byBatch = scala.collection.mutable.Map[Int, List[String]]()
+    val it = fs.listFiles(dir, /* recursive */ true)
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      if (new Path(p).getName.endsWith(".parquet"))
+        """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
+          .filter(committed.contains)
+          .foreach(b => byBatch(b) = p :: byBatch.getOrElse(b, Nil))
+    }
+    if (committed.subsetOf(byBatch.keySet)) byBatch.values.flatten.toSeq else Seq.empty
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
@@ -310,6 +483,30 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
         batch.filter(committed.contains).foreach(b => files += ((b, column, p)))
       }
     }
+    val keep = if (aggSlots.isDefined) Map.empty[String, Boolean]
+               else fileKeep(activePreds, committed)
+    def kept(path: String): Boolean = keep.getOrElse(normPath(path), true)
+    if (aggSlots.isDefined) {
+      // aggregate mode: chunk groups need no column alignment (each
+      // column's metadata row contributes its own partial independently),
+      // so one partition per FILE maximizes parallelism; zero files →
+      // one identity partition so the final merge still sees count=0.
+      // Prefer the filestats SIDECAR files when every committed batch has
+      // one: same stat fields, orders of magnitude smaller, and the chunk
+      // files themselves are never opened at all.
+      val sidecar = filestatsFiles(committed)
+      if (sidecar.nonEmpty)
+        return sidecar.sorted.map(f =>
+          GraftInputPartition(Array(f), Seq.empty): InputPartition).toArray
+      val wanted = specs.map(_.name).toSet
+      val parts: Array[InputPartition] =
+        if (files.exists(_._2.isDefined))
+          files.filter(f => f._2.exists(wanted.contains)).sortBy(_._3)
+            .map(f => GraftInputPartition(Array(f._3), Seq(f._2.get))).toArray
+        else files.sortBy(_._3).map(f => GraftInputPartition(Array(f._3), Seq.empty)).toArray
+      return if (parts.nonEmpty) parts
+             else Array[InputPartition](GraftInputPartition(Array.empty, Seq.empty))
+    }
     if (files.exists(_._2.isDefined)) {
       // column-partitioned layout: group the per-column files of one
       // writer task (same part-NNNNN file index within a batch) and open
@@ -317,6 +514,11 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
       val wanted = specs.map(_.name).toSet
       files.filter(f => f._2.exists(wanted.contains))
         .groupBy(f => (f._1, taskIndexOf(f._3)))
+        // whole-GROUP pruning: sidecar chunk-keep is decided across
+        // columns, so a pruned predicate-column file means every sibling
+        // column file of those chunks is dead too — dropping the group
+        // keeps the zip invariant intact
+        .filter { case (_, group) => group.forall(g => kept(g._3)) }
         .toArray.sortBy(_._1)
         .map { case (_, group) =>
           val byCol = group.map(g => g._2.get -> g._3).toMap
@@ -326,7 +528,8 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
           // spec order keeps the zip deterministic
           GraftInputPartition(specs.map(s => byCol(s.name)), specs.map(_.name).toSeq)
         }
-    } else files.toArray.sortBy(_._3).map(f => GraftInputPartition(Array(f._3), Seq.empty))
+    } else files.toArray.sortBy(_._3).filter(f => kept(f._3))
+      .map(f => GraftInputPartition(Array(f._3), Seq.empty))
   }
 
   private def taskIndexOf(path: String): String = {
@@ -338,9 +541,15 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
-    val preds = pushed.flatMap(ChunkPrune.from(_, specs))
-    GraftReaderFactory(specs, required.fields.isEmpty, preds,
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    aggSlots match {
+      case Some(slots) =>
+        // COUNT(*) contributions must arrive exactly once per chunk: the
+        // designated column (all columns of a chunk share row_count)
+        GraftAggReaderFactory(slots, emitColumns.head, specs, conf)
+      case None =>
+        GraftReaderFactory(specs, required.fields.isEmpty, activePreds, limit, conf)
+    }
   }
 }
 
@@ -358,16 +567,34 @@ sealed trait ChunkPrune extends Serializable {
     * this predicate can drive one.
     */
   def strideBounds: Option[(Long, Long)] = None
+  /** The same decision as a Column expression over filestats sidecar rows
+    * (column, min_val, max_val, null_count, row_count, bloom), evaluated
+    * distributedly at PLAN time for file-level pruning. Rows of other
+    * columns must stay true (the AND across predicates spans columns).
+    */
+  final def keepColumn: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    (col("column") =!= lit(column)) || keepSelf
+  }
+  protected def keepSelf: org.apache.spark.sql.Column
 }
 
 /** IsNotNull: an all-null chunk can contribute no matching rows. */
 final case class NotNullPrune(column: String) extends ChunkPrune {
   override def keepsChunk(c: EncodedChunk): Boolean = c.null_count < c.row_count
+  override protected def keepSelf: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("null_count") < col("row_count")
+  }
 }
 
 /** IsNull: a null-free chunk can contribute no matching rows. */
 final case class NullOnlyPrune(column: String) extends ChunkPrune {
   override def keepsChunk(c: EncodedChunk): Boolean = c.null_count > 0
+  override protected def keepSelf: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    col("null_count") > 0
+  }
 }
 
 /** In(col, values): keep the chunk if ANY value might be present —
@@ -375,6 +602,8 @@ final case class NullOnlyPrune(column: String) extends ChunkPrune {
   */
 final case class AnyOfPrune(column: String, alts: Array[PrunePred]) extends ChunkPrune {
   override def keepsChunk(c: EncodedChunk): Boolean = alts.exists(_.keepsChunk(c))
+  override protected def keepSelf: org.apache.spark.sql.Column =
+    alts.map(_.keepSelfColumn).reduce(_ || _)
 }
 
 /** One pushed comparison, pre-resolved on the driver into the spaces the
@@ -420,6 +649,39 @@ final case class PrunePred(column: String, logical: String,
       val above = c.max_val.exists(m => ord.lt(parse(m), lo))
       !(below || above)
     } catch { case _: Exception => true }
+
+  override protected def keepSelf: org.apache.spark.sql.Column = keepSelfColumn
+
+  /** keepsChunk as a Column over sidecar rows — same spaces, same
+    * conservatism: try_cast yields null on unparseable stats and
+    * coalesce(..., true) keeps; string compares ride Spark's binary
+    * collation (= the UTF8String comparator used row-side); bloom
+    * rejection requires a present blob AND a definite miss.
+    */
+  def keepSelfColumn: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, udf}
+    val byRange =
+      if (longUsable)
+        coalesce(!(col("max_val").try_cast("bigint") < lit(loLong) ||
+                   col("min_val").try_cast("bigint") > lit(hiLong)), lit(true))
+      else if (doubleUsable)
+        coalesce(!(col("max_val").try_cast("double") < lit(loDouble) ||
+                   col("min_val").try_cast("double") > lit(hiDouble)), lit(true))
+      else if (loStr.isDefined || hiStr.isDefined)
+        coalesce(!(hiStr.map(h => col("min_val") > lit(h)).getOrElse(lit(false)) ||
+                   col("max_val") < lit(loStr.getOrElse(""))), lit(true))
+      else lit(true)
+    val byBloom =
+      if (!bloomUsable) lit(true)
+      else {
+        val h1c = bloomH1; val h2c = bloomH2
+        val rejects = udf { (b: Array[Byte]) =>
+          b != null && !graft.core.Bloom.deserializeTagged(b)._2.mightContain(h1c, h2c)
+        }
+        !rejects(col("bloom"))
+      }
+    byRange && byBloom
+  }
 }
 
 object ChunkPrune {
@@ -553,11 +815,156 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
 }
 
 final case class GraftReaderFactory(specs: Array[ColumnSpec], emitEmptyRows: Boolean,
-                                    preds: Array[ChunkPrune], conf: SerializableHadoopConf)
+                                    preds: Array[ChunkPrune], limit: Int,
+                                    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], specs,
-      emitEmptyRows, preds, conf.value)
+      emitEmptyRows, preds, limit, conf.value)
+}
+
+final case class GraftAggReaderFactory(slots: Array[AggSlot], designated: String,
+                                       specs: Array[ColumnSpec], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftAggPartitionReader(partition.asInstanceOf[GraftInputPartition], slots,
+      designated, specs, conf.value)
+}
+
+/** Metadata-only partial aggregates: reads each chunk file with a parquet
+  * projection that DROPS the stream blobs (`streams`, `seg_lens`, stride
+  * arrays are never read — IO is a few stat fields per chunk), then emits
+  * one partial row per chunk metadata record. No alignment or grouping:
+  * each column's record fills only its own slots (other slots null, which
+  * Spark's merging MIN/SUM ignore), and row_count flows exactly once per
+  * chunk via the designated column. An empty-file partition emits the
+  * merge identity (counts 0, min/max null) so `count(*)` over an empty
+  * table is 0, not null.
+  */
+final class GraftAggPartitionReader(part: GraftInputPartition, slots: Array[AggSlot],
+                                    designated: String, specs: Array[ColumnSpec],
+                                    conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val colPart = part.columns.nonEmpty
+  private val wanted = specs.map(_.name).toSet
+  private val specByName = specs.map(s => s.name -> s).toMap
+  private val metaFields = Set("column", "row_count", "null_count", "min_val", "max_val")
+
+  private val reader: ParquetReader[Group] =
+    if (part.files.isEmpty) null
+    else {
+      val f = part.files(0)
+      val c = new Configuration(conf)
+      // projection from the FILE's own schema (types/repetitions match by
+      // construction, and fields absent in older files are simply dropped)
+      val in = HadoopInputFile.fromPath(new Path(f), c)
+      val fr = ParquetFileReader.open(in)
+      val fileSchema = try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val kept = fileSchema.getFields.asScala.filter(fd => metaFields(fd.getName))
+      c.set(ReadSupport.PARQUET_READ_SCHEMA, new MessageType(fileSchema.getName, kept.asJava).toString)
+      val b = ParquetReader.builder(new GroupReadSupport(), new Path(f)).withConf(c)
+      (if (colPart) b
+       else b.withFilter(FilterCompat.get(
+         specs.map(s => FilterApi.eq(FilterApi.binaryColumn("column"),
+             Binary.fromString(s.name)): FilterPredicate)
+           .reduce(FilterApi.or)))).build()
+    }
+
+  private val proj = UnsafeProjection.create(slots.map(_.outType))
+  private var current: InternalRow = _
+  private var emittedIdentity = false
+
+  override def next(): Boolean = {
+    if (reader == null) {
+      if (emittedIdentity) return false
+      emittedIdentity = true
+      val row = new GenericInternalRow(slots.length)
+      var i = 0
+      while (i < slots.length) {
+        if (slots(i).kind == "countstar" || slots(i).kind == "count") row.update(i, 0L)
+        i += 1
+      }
+      current = proj(row)
+      return true
+    }
+    var g = reader.read()
+    while (g != null) {
+      val colName =
+        if (colPart) part.columns.head
+        else if (g.getFieldRepetitionCount("column") > 0) g.getString("column", 0) else null
+      if (colName != null && wanted.contains(colName)) {
+        current = proj(partialRow(g, colName))
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = if (reader != null) reader.close()
+
+  private def partialRow(g: Group, colName: String): InternalRow = {
+    val rowCount = g.getInteger("row_count", 0).toLong
+    val nullCount = g.getInteger("null_count", 0).toLong
+    def stat(name: String): Option[String] =
+      if (g.getType.containsField(name) && g.getFieldRepetitionCount(name) > 0)
+        Some(g.getString(name, 0))
+      else None
+    val row = new GenericInternalRow(slots.length)
+    var i = 0
+    while (i < slots.length) {
+      val s = slots(i)
+      s.kind match {
+        case "countstar" => if (colName == designated) row.update(i, rowCount)
+        case "count"     => if (s.column.contains(colName)) row.update(i, rowCount - nullCount)
+        case "min" | "max" =>
+          if (s.column.contains(colName)) {
+            stat(if (s.kind == "min") "min_val" else "max_val") match {
+              case Some(v) => row.update(i, statToInternal(v, specByName(colName), s.outType))
+              case None =>
+                // all-null chunk contributes nothing; stats missing on a
+                // value-bearing chunk would mean a silently wrong answer
+                require(nullCount == rowCount,
+                  s"chunk lacks ${s.kind} stats for $colName (older engine?) — " +
+                    "aggregate pushdown cannot answer exactly on this directory")
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    row
+  }
+
+  /** Stat string → Catalyst internal value in the declared output type's
+    * space. Inverse of each ColBuf's minMax rendering: long-family stats
+    * are the raw long (micros / epoch-day / mantissa), decimal128 is a
+    * plain decimal string, bool is 0/1.
+    */
+  private def statToInternal(stat: String, spec: ColumnSpec, outType: DataType): Any =
+    spec.logical match {
+      case "long" => outType match {
+        case LongType    => stat.toLong
+        case IntegerType => stat.toLong.toInt
+        case ShortType   => stat.toLong.toShort
+        case ByteType    => stat.toLong.toByte
+        case other       => throw new IllegalStateException(s"long stat for $other")
+      }
+      case "date"                        => stat.toLong.toInt
+      case "timestamp" | "timestamp_ntz" => stat.toLong
+      case "decimal" =>
+        val dt = outType.asInstanceOf[DecimalType]
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(stat.toLong), dt.scale),
+          dt.precision, dt.scale)
+      case "decimal128" =>
+        val dt = outType.asInstanceOf[DecimalType]
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(stat), dt.precision, dt.scale)
+      case "string" => UTF8String.fromString(stat)
+      case "bool"   => stat == "1"
+      case other    => throw new IllegalStateException(s"no exact agg stats for $other")
+    }
 }
 
 /** Decodes one partition's chunk files back to logical rows: parquet-mr
@@ -570,7 +977,7 @@ final case class GraftReaderFactory(specs: Array[ColumnSpec], emitEmptyRows: Boo
   */
 final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnSpec],
                                  emitEmptyRows: Boolean, preds: Array[ChunkPrune],
-                                 conf: Configuration)
+                                 limit: Int, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val columnPartitioned = part.columns.nonEmpty
@@ -626,8 +1033,13 @@ final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnS
   private var pendingFirst: Option[Group] = None // row-grouped lookahead
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    // pushed partial limit: stop decoding (and opening further chunks)
+    // once this partition has produced its quota — Spark's global Limit
+    // trims the cross-partition total
+    if (limit >= 0 && emitted >= limit) return false
     while (!rows.hasNext) {
       val group = nextGroup()
       if (group == null) return false
@@ -636,6 +1048,7 @@ final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnS
           group.map { case (k, v) => k -> v }, specs, writer, stridePrune)
     }
     current = toLogical(rows.next())
+    emitted += 1
     true
   }
   override def get(): InternalRow = current

@@ -33,6 +33,14 @@ object Bridge {
       .sessionState.functionRegistry
       .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 
+  /** V2 runtime-filter Predicates → V1 source Filters (unconvertible
+    * predicates dropped — runtime pruning is advisory, the join re-checks
+    * exact keys). `PredicateUtils` is private[sql]; same bridge pattern.
+    */
+  def predicatesToV1(ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(ps)
+
   /** Drain the listener bus so SparkListener-collected metrics (e.g.
     * bytes-read assertions in tests) are complete before reading them.
     * `listenerBus.waitUntilEmpty` is private[spark]; this is the same

@@ -178,6 +178,191 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"column pruning did not shrink sizeInBytes: $pruned vs $full")
   }
 
+  // ---------- aggregate / limit pushdown, runtime filtering ----------
+
+  test("format(graft): ungrouped MIN/MAX/COUNT answered from chunk metadata — zero blob decompression") {
+    val src = spark.read.format("graft").load(rowOut)
+    def aggs(df: DataFrame) = df.agg(
+      min("l_orderkey").as("a"), max("l_orderkey").as("b"),
+      count(col("l_orderkey")).as("c"),
+      min("v_byte").as("d"), max("v_short").as("e"),
+      min("v_decimal").as("f"), max("v_decimal").as("g"),
+      min("v_dec38").as("h"), max("v_dec38").as("i"),
+      min("v_bool").as("j"), max("v_bool").as("k"),
+      min("v_date").as("l"), max("v_date").as("m"),
+      min("v_string").as("n"), max("v_string").as("o"),
+      min("v_ts").as("p"), max("v_ts").as("q"))
+    graft.core.BlockCompression.resetCounters()
+    val got = aggs(src).collect().head
+    assert(graft.core.BlockCompression.decompressInputBytes == 0,
+      "aggregate pushdown did not engage: stream blobs were decompressed")
+    val want = aggs(alltypes).collect().head
+    assert(got.toString == want.toString, s"$got vs $want")
+    // the plan advertises the push
+    val desc = aggs(src).queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(desc.contains("PushedAggregates"), desc)
+    // column-partitioned layout: only the referenced columns' FILES open
+    graft.core.BlockCompression.resetCounters()
+    val gotCol = aggs(spark.read.format("graft").load(colOut)).collect().head
+    assert(graft.core.BlockCompression.decompressInputBytes == 0)
+    assert(gotCol.toString == want.toString, s"$gotCol vs $want")
+    // the scan reads the filestats SIDECAR, not the chunk files: one
+    // input partition per sidecar parquet file
+    val sidecarFiles = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$rowOut/filestats"))
+      try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    val aggParts = scanPartitions(aggs(src))
+    assert(sidecarFiles > 0 && aggParts == sidecarFiles, s"$aggParts vs $sidecarFiles")
+  }
+
+  /** Input-partition count of the (single) graft BatchScan in a plan,
+    * unwrapping AQE stages (agg plans have exchanges, so the executed
+    * plan root is adaptive).
+    */
+  private def scanPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect() // finalize adaptive planning
+    def find(p: SparkPlan): Seq[Int] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec        => find(q.plan)
+      case b: BatchScanExec         => Seq(b.inputRDD.getNumPartitions)
+      case other                    => other.children.flatMap(find)
+    }
+    find(df.queryExecution.executedPlan).head
+  }
+
+  test("format(graft): count() and count(col-with-nulls) from metadata; empty table counts 0") {
+    val srcDf = spark.range(6000).select(col("id"),
+      when(col("id") % 3 === 0, concat(lit("v"), col("id"))).as("v_nullable"))
+    val out = s"$tmp/agg-nulls"
+    srcDf.write.format("graft").mode("overwrite").option("numPartitions", "3").save(out)
+    val src = spark.read.format("graft").load(out)
+    graft.core.BlockCompression.resetCounters()
+    assert(src.count() == 6000L)
+    val counted = src.agg(count("v_nullable"), count("id"), max("v_nullable")).collect().head
+    assert(graft.core.BlockCompression.decompressInputBytes == 0)
+    assert(counted.getLong(0) == 2000L && counted.getLong(1) == 6000L)
+    assert(counted.getString(2) == srcDf.agg(max("v_nullable")).collect().head.getString(0))
+    // empty table: identity partial keeps count(*) at 0, min at null
+    val empty = s"$tmp/agg-empty"
+    srcDf.limit(0).write.format("graft").mode("overwrite")
+      .option("numPartitions", "2").save(empty)
+    val e = spark.read.format("graft").load(empty).agg(count("id"), min("id")).collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(1), e.toString)
+  }
+
+  test("format(graft): double/float min-max refuse pushdown and stay NaN-exact") {
+    // chunk stats exclude NaN (they would poison range pruning), and Spark
+    // sorts NaN above +Inf — so MAX must fall back to a real decode
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, 1.5, 2.0f), (2L, Double.NaN, Float.NaN), (3L, -4.0, 0.5f))))
+      .toDF("id", "v_double", "v_float")
+    val out = s"$tmp/agg-nan"
+    df.write.format("graft").mode("overwrite").option("numPartitions", "1").save(out)
+    val src = spark.read.format("graft").load(out)
+    graft.core.BlockCompression.resetCounters()
+    val got = src.agg(max("v_double"), min("v_double"), max("v_float")).collect().head
+    assert(graft.core.BlockCompression.decompressInputBytes > 0,
+      "float aggregates must decode, not trust NaN-excluding stats")
+    assert(got.getDouble(0).isNaN && got.getDouble(1) == -4.0 && got.getFloat(2).isNaN, got.toString)
+  }
+
+  test("format(graft): limit pushdown decodes only the chunks it needs") {
+    // many small chunks per partition so a pushed limit has something to skip
+    val out = s"$tmp/limit"
+    spark.range(40000).select(col("id"), concat(lit("payload-"), col("id")).as("s"))
+      .write.format("graft").mode("overwrite")
+      .option("numPartitions", "2").option("chunkTargetBytes", "65536").save(out)
+    val src = spark.read.format("graft").load(out)
+    assert(src.limit(5).collect().length == 5)
+    graft.core.BlockCompression.resetCounters()
+    src.limit(5).collect()
+    val lim = graft.core.BlockCompression.decompressInputBytes
+    graft.core.BlockCompression.resetCounters()
+    src.collect()
+    val full = graft.core.BlockCompression.decompressInputBytes
+    assert(lim > 0 && lim < full, s"limit pushdown not engaged: $lim vs $full")
+  }
+
+  test("format(graft): runtime V2 filter prunes chunks (join-driven IN, superset-safe)") {
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val out = s"$tmp/runtime"
+    val ids = spark.range(10000).select(col("id"),
+      (col("id") / 2500).cast("int").cast("string").as("band"),
+      concat(lit("txt"), col("id")).as("payload"))
+    EncodeJob.run(ids, EncodeJob.Config(out, numPartitions = 4, keyColumn = Some("band")))
+    val props = new java.util.HashMap[String, String](); props.put("path", out)
+    val table = new graft.spark.source.GraftSource()
+      .getTable(EncodeJob.schemaFromDisk(spark, out).get, Array.empty, props)
+    def scanOf(filters: Array[Predicate]) = {
+      val scan = table.asInstanceOf[SupportsRead]
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      val rf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+      assert(rf.filterAttributes().map(_.fieldNames().head).contains("id"))
+      if (filters.nonEmpty) rf.filter(filters)
+      scan.toBatch
+    }
+    def readAll(batch: org.apache.spark.sql.connector.read.Batch): Long = {
+      val factory = batch.createReaderFactory()
+      var n = 0L
+      batch.planInputPartitions().foreach { p =>
+        val r = factory.createReader(p)
+        while (r.next()) n += 1
+        r.close()
+      }
+      n
+    }
+    val in = new Predicate("IN", Array[org.apache.spark.sql.connector.expressions.Expression](
+      Expressions.column("id"), Expressions.literal(3L), Expressions.literal(9999L)))
+    graft.core.BlockCompression.resetCounters()
+    val prunedRows = readAll(scanOf(Array(in)))
+    val prunedBytes = graft.core.BlockCompression.decompressInputBytes
+    graft.core.BlockCompression.resetCounters()
+    val fullRows = readAll(scanOf(Array.empty))
+    val fullBytes = graft.core.BlockCompression.decompressInputBytes
+    assert(fullRows == 10000L)
+    // superset containing the keys, but strictly pruned
+    assert(prunedRows >= 2 && prunedRows < fullRows, s"$prunedRows of $fullRows")
+    assert(prunedBytes < fullBytes, s"runtime filter did not prune: $prunedBytes vs $fullBytes")
+  }
+
+  test("format(graft): filestats sidecar prunes whole FILES at plan time") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def numParts(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.inputRDD.getNumPartitions }.head
+    // row-grouped: banded key → each of the 8 files covers one id band
+    val ids = spark.range(16000).select(col("id"),
+      (col("id") / 2000).cast("int").cast("string").as("band"),
+      concat(lit("txt"), col("id")).as("payload"))
+    val out = s"$tmp/fileprune"
+    EncodeJob.run(ids, EncodeJob.Config(out, numPartitions = 8, keyColumn = Some("band")))
+    assert(new java.io.File(s"$out/filestats").exists(), "sidecar not written")
+    val src = spark.read.format("graft").load(out)
+    val full = numParts(src.select("id"))
+    val pruned = numParts(src.filter(col("id") === 4321L).select("id"))
+    assert(pruned < full, s"file-level pruning did not shrink partitions: $pruned vs $full")
+    assert(src.filter(col("id") === 4321L).count() == 1L)
+    assert(src.filter(col("id") === -5L).count() == 0L)
+    // column-partitioned: a predicate on one column drops sibling files
+    // of the same chunks without breaking the zip
+    val outCol = s"$tmp/fileprune-col"
+    EncodeJob.run(ids, EncodeJob.Config(outCol, numPartitions = 8, keyColumn = Some("band"),
+      partitionByColumn = true))
+    val srcCol = spark.read.format("graft").load(outCol)
+    val fullCol = numParts(srcCol)
+    val prunedCol = numParts(srcCol.filter(col("id") === 4321L))
+    assert(prunedCol < fullCol, s"col-part file pruning: $prunedCol vs $fullCol")
+    val row = srcCol.filter(col("id") === 4321L).collect()
+    assert(row.length == 1 && row(0).getString(2) == "txt4321")
+  }
+
   // ---------- write path: df.write.format("graft") ----------
 
   test("write(graft): overwrite then read back equals input; options reach the encoder") {
