@@ -501,10 +501,14 @@ object EncodeJob {
 
   /** True when the chunk table was written with partitionByColumn
     * (column=<name> dirs under the batch dirs) — a filesystem listing,
-    * no data or parquet-footer reads. A layout is fixed per output dir
-    * (the writer's Config decides it once), so the answer is cached
-    * process-wide: on an object store the two-level LIST per readBack
-    * would otherwise cost hundreds of calls across batches.
+    * no data or parquet-footer reads. The answer is cached process-wide
+    * (on an object store the two-level LIST per readBack would otherwise
+    * cost hundreds of calls across batches) and updated by SAME-JVM
+    * writes; if another process overwrites the dir with the opposite
+    * layout, a stale entry only costs this JVM the colocated-probe fast
+    * path — readers fall back to the always-correct shuffled decode. A
+    * JVM that needs to observe a cross-process layout rewrite should use
+    * a new outDir (the recommended pattern) or a new session/JVM.
     */
   private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 

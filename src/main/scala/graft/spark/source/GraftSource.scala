@@ -340,7 +340,7 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     */
   override def filterAttributes(): Array[NamedReference] =
     if (aggSlots.isDefined) Array.empty
-    else logicalSchema.fields.map(f => Expressions.column(f.name))
+    else required.fields.map(f => Expressions.column(f.name)) // scan OUTPUT columns (Spark resolves against them)
 
   private var runtimeFilters: Array[Filter] = Array.empty
   override def filter(predicates: Array[Predicate]): Unit =

@@ -333,6 +333,34 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prunedBytes < fullBytes, s"runtime filter did not prune: $prunedBytes vs $fullBytes")
   }
 
+  test("format(graft): join-driven runtime filtering fires through Spark's planner (DPP end-to-end)") {
+    // fact in graft, banded by id so chunk/file stats are selective; tiny
+    // dim with a selective predicate; broadcast equi-join → Spark plans a
+    // DynamicPruning IN-subquery against the scan's filterAttributes
+    val out = s"$tmp/dpp"
+    val fact = spark.range(20000).select(col("id"),
+      (col("id") / 2500).cast("int").cast("string").as("band"),
+      concat(lit("p"), col("id")).as("payload"))
+    EncodeJob.run(fact, EncodeJob.Config(out, numPartitions = 8, keyColumn = Some("band")))
+    val src = spark.read.format("graft").load(out)
+    val dim = spark.range(20000).select(col("id").as("k"), (col("id") % 4000).as("cat"))
+    def joined(d: DataFrame) =
+      src.join(broadcast(d), src("id") === d("k")).select("id", "payload", "cat")
+    val selective = dim.filter(col("cat") === 7) // keys 7, 4007, 8007, 12007, 16007
+    val want = (0 until 5).map(i => 7L + 4000L * i)
+    graft.core.BlockCompression.resetCounters()
+    val got = joined(selective).collect().map(_.getLong(0)).sorted
+    val prunedBytes = graft.core.BlockCompression.decompressInputBytes
+    assert(got.toSeq == want, got.mkString(","))
+    graft.core.BlockCompression.resetCounters()
+    assert(joined(dim).collect().length == 20000) // same projection as the pruned case
+    val fullBytes = graft.core.BlockCompression.decompressInputBytes
+    // the runtime filter reached the scan iff the selective join decoded
+    // strictly less than the full join
+    assert(prunedBytes < fullBytes,
+      s"runtime filter did not reach the scan: $prunedBytes vs $fullBytes")
+  }
+
   test("format(graft): filestats sidecar prunes whole FILES at plan time") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     def numParts(df: DataFrame): Int =
