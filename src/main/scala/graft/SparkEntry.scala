@@ -580,6 +580,25 @@ object SparkEntry {
       q.awaitTermination()
       s.table("q_stream_window").orderBy("day", "event_type")
     }),
+    // the streaming READ surface: committed encode batches as
+    // micro-batches (manifest-commit offsets). Batch 0 is live before the
+    // stream starts; batch 1 is appended MID-stream — exactly-once means
+    // the final table equals the whole documents table, oracle-checked
+    "q_stream_read" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-stream-read").toString
+      docs.filter(col("doc_id") % 2 === 0).write.format("graft")
+        .mode("overwrite").option("numPartitions", "2").save(out)
+      val q = s.readStream.format("graft").load(out)
+        .writeStream.format("memory").queryName("q_stream_read").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") % 2 === 1).write.format("graft")
+          .mode("append").option("numPartitions", "2").save(out)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q_stream_read").select("doc_id", "lang", "text").orderBy("doc_id")
+    }),
     "q_encode_metrics" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val codecs = EncodeJob.pinStringCodecs(docs, 5000)
@@ -671,6 +690,7 @@ object SparkEntry {
         |   ELSE length(list_intersect(a.grams, b.grams))::DOUBLE / length(list_distinct(a.grams || b.grams)) END, 6) AS jaccard
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
+    "q_stream_read" -> "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
     "q_source_agg" ->
       """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         | count(l_orderkey) AS n_rows,

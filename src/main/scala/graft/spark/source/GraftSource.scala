@@ -113,7 +113,7 @@ final class GraftTable(outDir: String, logicalSchema: StructType,
   override def name(): String = s"graft:$outDir"
   override def schema(): StructType = logicalSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(outDir, logicalSchema)
@@ -395,6 +395,9 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
   private lazy val allSpecs: Array[ColumnSpec] =
     EncodeJob.specsFromManifest(spark, outDir, logicalSchema)
 
+  private[source] def maxCommittedBatch: Int =
+    EncodeJob.committedBatches(spark, outDir).foldLeft(-1)(math.max)
+
   override def readSchema(): StructType = aggSlots match {
     case Some(slots) => StructType(slots.zipWithIndex.map { case (s, i) =>
       StructField(s"${s.kind}_${s.column.getOrElse("star")}_$i", s.outType, nullable = true)
@@ -466,7 +469,14 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     if (committed.subsetOf(byBatch.keySet)) byBatch.values.flatten.toSeq else Seq.empty
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    planPartitionsFor(_ => true)
+
+  /** Batch planning shared by the one-shot scan (batchKeep = all
+    * committed) and the micro-batch stream (batchKeep = one committed
+    * batch-id range).
+    */
+  private[source] def planPartitionsFor(batchKeep: Int => Boolean): Array[InputPartition] = {
     val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
     val committed = EncodeJob.committedBatches(spark, outDir)
     val dir = new Path(EncodeJob.chunkDir(outDir))
@@ -480,7 +490,8 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
       if (f.getPath.getName.endsWith(".parquet")) {
         val batch = """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
         val column = """column=([^/]+)/""".r.findFirstMatchIn(p).map(_.group(1))
-        batch.filter(committed.contains).foreach(b => files += ((b, column, p)))
+        batch.filter(b => committed.contains(b) && batchKeep(b))
+          .foreach(b => files += ((b, column, p)))
       }
     }
     val keep = if (aggSlots.isDefined) Map.empty[String, Boolean]
@@ -551,6 +562,44 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
         GraftReaderFactory(specs, required.fields.isEmpty, activePreds, limit, conf)
     }
   }
+
+  /** `spark.readStream.format("graft").load(outDir)` — committed encode
+    * batches become micro-batches. The manifest commit is the only thing
+    * that makes a batch visible (the same atomicity the batch reader
+    * relies on), and batch ids commit in increasing order on every write
+    * path (append chooses max+1; runBatch replays only uncommitted ids
+    * in order), so `max committed id` is a valid monotone offset and each
+    * (start, end] range is read exactly once. Pushed filters keep their
+    * chunk-level pruning; aggregates are never pushed on streams.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(this)
+}
+
+/** Offset = highest committed batch id read so far (-1 = nothing). */
+final case class GraftBatchOffset(maxBatch: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"batch":$maxBatch}"""
+}
+
+final class GraftMicroBatchStream(scan: GraftScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftBatchOffset(-1)
+  override def latestOffset(): Offset = GraftBatchOffset(scan.maxCommittedBatch)
+  override def deserializeOffset(json: String): Offset =
+    GraftBatchOffset("""-?\d+""".r.findFirstIn(json).getOrElse(
+      throw new IllegalArgumentException(s"bad graft offset: $json")).toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftBatchOffset].maxBatch
+    val e = end.asInstanceOf[GraftBatchOffset].maxBatch
+    scan.planPartitionsFor(b => b > s && b <= e)
+  }
+  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
+  override def commit(offset: Offset): Unit = () // batches are immutable once committed
+  override def stop(): Unit = ()
 }
 
 final case class GraftInputPartition(files: Array[String], columns: Seq[String])

@@ -391,6 +391,26 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.length == 1 && row(0).getString(2) == "txt4321")
   }
 
+  test("readStream(graft): committed batches are micro-batches; appends stream exactly once") {
+    val out = s"$tmp/stream-read"
+    val b0 = spark.range(100).select(col("id"), concat(lit("a"), col("id")).as("s"))
+    b0.write.format("graft").mode("overwrite").option("numPartitions", "2").save(out)
+    val q = spark.readStream.format("graft").load(out)
+      .writeStream.format("memory").queryName("graft_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_stream").count() == 100L)
+      // an appended committed batch becomes the next micro-batch
+      val b1 = spark.range(100, 150).select(col("id"), concat(lit("b"), col("id")).as("s"))
+      b1.write.format("graft").mode("append").option("numPartitions", "2").save(out)
+      q.processAllAvailable()
+      val rows = spark.table("graft_stream")
+      assert(rows.count() == 150L, "append not streamed (or double-read)")
+      assert(rows.select("id").distinct().count() == 150L, "duplicate micro-batch read")
+      assert(rows.filter(col("s") === "b149").count() == 1L)
+    } finally q.stop()
+  }
+
   // ---------- write path: df.write.format("graft") ----------
 
   test("write(graft): overwrite then read back equals input; options reach the encoder") {
