@@ -290,7 +290,12 @@ object SparkEntry {
         min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
         count(col("l_orderkey")).as("n_rows"),
         min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"),
-        min(col("l_returnflag")).as("min_flag"), max(col("l_linestatus")).as("max_status"))
+        min(col("l_returnflag")).as("min_flag"), max(col("l_linestatus")).as("max_status"),
+        // double min/max are metadata-answerable too: chunk stats pair the
+        // NaN-excluding range with nan_count, restoring Spark's exact
+        // NaN-above-+Inf semantics without touching the blobs
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
       // hard gate: the answer must come from metadata alone — any blob
       // decompression means the pushdown silently disengaged
       graft.core.BlockCompression.resetCounters()
@@ -695,7 +700,8 @@ object SparkEntry {
       """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         | count(l_orderkey) AS n_rows,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
-        | min(l_returnflag) AS min_flag, max(l_linestatus) AS max_status
+        | min(l_returnflag) AS min_flag, max(l_linestatus) AS max_status,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
     "q_stats_merge" ->
       """SELECT 'l_orderkey' AS col_name, min(l_orderkey) AS mn, max(l_orderkey) AS mx,

@@ -172,7 +172,7 @@ object EncodeJob {
     spark.read.parquet(chunkBatchDir(outDir, batchId))
       .select(col("part_id"), col("chunk_id"), col("column"),
         col("min_val"), col("max_val"), col("null_count"), col("row_count"),
-        col("bloom"), normalize(input_file_name()).as("file"))
+        col("nan_count"), col("bloom"), normalize(input_file_name()).as("file"))
       .write.mode(SaveMode.Overwrite).parquet(filestatsBatchDir(outDir, batchId))
   }
 

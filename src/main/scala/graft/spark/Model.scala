@@ -49,7 +49,14 @@ final case class EncodedChunk(
     // unsorted high-cardinality columns where min/max ranges prune
     // nothing. The reference's never-implemented Protocol/BloomFilter.cs
     // stub, actually built.
-    bloom: Option[Array[Byte]] = None)
+    bloom: Option[Array[Byte]] = None,
+    // double/float only: NaN occurrences among the non-null values.
+    // min_val/max_val EXCLUDE NaN (a NaN range poisons pruning), but
+    // Spark sorts NaN above +Inf — this count is what lets metadata
+    // answer MIN/MAX exactly (max = NaN iff nan_count > 0; min = NaN iff
+    // stats absent and nan_count > 0). None for other types and for
+    // chunks written before the field existed.
+    nan_count: Option[Int] = None)
 
 /** Per-partition lineage + metrics row, the manifest/commit-log analogue
   * of the reference's Footer/Metadata tail (OrcWriter.cs:57-98). A

@@ -173,6 +173,11 @@ object TableEncoder {
     def encode(aligned: Boolean): ColumnStreams
     def minMax: (Option[String], Option[String])
     def sumVal: Option[Long] = None
+    /** double/float only: NaN count among non-null values (min/max stats
+      * exclude NaN — this is what keeps metadata MIN/MAX exact under
+      * Spark's NaN-above-everything ordering).
+      */
+    def nanCount: Option[Int] = None
     /** Per-stride (min, max) arrays in long order space (long-family,
       * double/float sortable bits, string prefix longs).
       */
@@ -380,6 +385,7 @@ object TableEncoder {
     private var mn = Double.PositiveInfinity
     private var mx = Double.NegativeInfinity
     private var sawFinite = false
+    private var nans = 0
     private val strides = new StrideTracker(indexStride)
     def add(row: Row, i: Int): Unit = {
       rows += 1
@@ -393,12 +399,13 @@ object TableEncoder {
           if (v > mx) mx = v
           val s = doubleSortableBits(v)
           strides.addValue(s, s)
-        }
+        } else nans += 1
         values.add(v)
         rawBytes += 8
       }
       strides.addRow()
     }
+    override def nanCount: Option[Int] = Some(nans)
     override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = strides.snapshot(rows)
     private var snap: Array[Double] = null
     override protected def beginSlices(): Unit = { snap = values.toArray }
@@ -416,7 +423,7 @@ object TableEncoder {
     override def clear(): Unit = {
       super.clear(); values.clear()
       mn = Double.PositiveInfinity; mx = Double.NegativeInfinity; sawFinite = false
-      strides.clear(); snap = null
+      nans = 0; strides.clear(); snap = null
     }
   }
 
@@ -425,6 +432,7 @@ object TableEncoder {
     private var mn = Float.PositiveInfinity
     private var mx = Float.NegativeInfinity
     private var sawFinite = false
+    private var nans = 0
     private val strides = new StrideTracker(indexStride)
     def add(row: Row, i: Int): Unit = {
       rows += 1
@@ -438,12 +446,13 @@ object TableEncoder {
           if (v > mx) mx = v
           val s = floatSortableBits(v)
           strides.addValue(s, s)
-        }
+        } else nans += 1
         values.add(v)
         rawBytes += 4
       }
       strides.addRow()
     }
+    override def nanCount: Option[Int] = Some(nans)
     override def strideStats: (Option[Seq[Long]], Option[Seq[Long]]) = strides.snapshot(rows)
     private var snap: Array[Float] = null
     override protected def beginSlices(): Unit = { snap = values.toArray }
@@ -461,7 +470,7 @@ object TableEncoder {
     override def clear(): Unit = {
       super.clear(); values.clear()
       mn = Float.PositiveInfinity; mx = Float.NegativeInfinity; sawFinite = false
-      strides.clear(); snap = null
+      nans = 0; strides.clear(); snap = null
     }
   }
 
@@ -695,7 +704,8 @@ object TableEncoder {
           compression = Some(compression),
           seg_lens = Some(segLens.result()),
           stride_null_counts = Some(nullsPer.toSeq),
-          bloom = bufs(i).bloomBytes)
+          bloom = bufs(i).bloomBytes,
+          nan_count = bufs(i).nanCount)
       }
 
       def flush(): Iterator[EncodedChunk] = {
@@ -716,7 +726,8 @@ object TableEncoder {
                 bufs(i).sumVal,
                 if (sMins.isDefined) indexStrideRows else 0, sMins, sMaxs,
                 compression = Some(compression),
-                bloom = bufs(i).bloomBytes)
+                bloom = bufs(i).bloomBytes,
+                nan_count = bufs(i).nanCount)
             }
           }.toArray
           firstRow += rowsInChunk

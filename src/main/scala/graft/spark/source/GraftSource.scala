@@ -25,7 +25,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -240,12 +240,16 @@ final class GraftScanBuilder(outDir: String, logicalSchema: StructType)
     *
     * Refused (→ Spark runs the normal scan) whenever exactness isn't
     * guaranteed by the written stats: GROUP BY (chunks span groups),
-    * double/float min/max (chunk stats exclude NaN, which Spark sorts
-    * ABOVE every value), binary min/max (no value range recorded), SUM
-    * (saturating overflow-aware chunk sums can't reproduce Spark's
-    * ANSI/wrap overflow semantics), DISTINCT. Spark itself never offers
-    * aggregates here when filters stayed residual, so no interaction with
-    * filter pushdown (every graft filter is residual by design).
+    * binary min/max (no value range recorded), SUM (saturating
+    * overflow-aware chunk sums can't reproduce Spark's ANSI/wrap overflow
+    * semantics), DISTINCT. Double/float min/max ARE pushed: chunk stats
+    * exclude NaN from the range but record `nan_count`, which is exactly
+    * what Spark's NaN-above-+Inf ordering needs (MAX = NaN iff any NaN;
+    * MIN = NaN only when every non-null value is NaN). Directories
+    * written before nan_count existed fail loudly in the partial reader
+    * rather than answering wrong. Spark itself never offers aggregates
+    * here when filters stayed residual, so no interaction with filter
+    * pushdown (every graft filter is residual by design).
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (pushed.nonEmpty || aggregation.groupByExpressions().nonEmpty) return false
@@ -312,15 +316,17 @@ object AggSlot {
     case _ => None
   }
 
-  /** Types whose chunk min/max are EXACT under Spark's ordering. Excluded:
-    * double/float (the writer excludes NaN from the range, and Spark sorts
-    * NaN above +Inf — a chunk holding {1.0, NaN} records max=1.0, so MAX
-    * would be silently wrong); binary (length-sum only, no value range);
-    * non-binary string collations (chunk order is byte order).
+  /** Types whose chunk min/max are EXACT under Spark's ordering.
+    * Double/float qualify because the writer pairs the NaN-excluding range
+    * with a per-chunk `nan_count` (Spark sorts NaN above +Inf; the count
+    * reconstructs the exact answer — see GraftAggReader.partialRow).
+    * Excluded: binary (length-sum only, no value range); non-binary string
+    * collations (chunk order is byte order).
     */
   private def minMaxExact(fd: StructField): Boolean = fd.dataType match {
     case LongType | IntegerType | ShortType | ByteType | DateType |
-         TimestampType | TimestampNTZType | BooleanType | StringType => true
+         TimestampType | TimestampNTZType | BooleanType | StringType |
+         DoubleType | FloatType => true
     case _: DecimalType => true
     case _ => false
   }
@@ -898,7 +904,7 @@ final class GraftAggPartitionReader(part: GraftInputPartition, slots: Array[AggS
   private val colPart = part.columns.nonEmpty
   private val wanted = specs.map(_.name).toSet
   private val specByName = specs.map(s => s.name -> s).toMap
-  private val metaFields = Set("column", "row_count", "null_count", "min_val", "max_val")
+  private val metaFields = Set("column", "row_count", "null_count", "min_val", "max_val", "nan_count")
 
   private val reader: ParquetReader[Group] =
     if (part.files.isEmpty) null
@@ -969,8 +975,31 @@ final class GraftAggPartitionReader(part: GraftInputPartition, slots: Array[AggS
         case "count"     => if (s.column.contains(colName)) row.update(i, rowCount - nullCount)
         case "min" | "max" =>
           if (s.column.contains(colName)) {
-            stat(if (s.kind == "min") "min_val" else "max_val") match {
-              case Some(v) => row.update(i, statToInternal(v, specByName(colName), s.outType))
+            val spec = specByName(colName)
+            val fp = spec.logical == "double" || spec.logical == "float"
+            // double/float: the range excludes NaN; nan_count restores
+            // exactness under Spark's NaN-above-+Inf ordering. A directory
+            // written before nan_count existed can't answer exactly — fail
+            // loudly (same contract as the missing-stats require below).
+            val nanCnt: Long =
+              if (!fp) 0L
+              else {
+                require(g.getType.containsField("nan_count"),
+                  s"chunks lack nan_count for $colName (older engine?) — " +
+                    "double/float aggregate pushdown cannot answer exactly on this directory")
+                if (g.getFieldRepetitionCount("nan_count") > 0) g.getInteger("nan_count", 0).toLong
+                else 0L
+              }
+            def nan: Any = s.outType match {
+              case FloatType => Float.NaN
+              case _         => Double.NaN
+            }
+            if (s.kind == "max" && nanCnt > 0) row.update(i, nan)
+            else stat(if (s.kind == "min") "min_val" else "max_val") match {
+              case Some(v) => row.update(i, statToInternal(v, spec, s.outType))
+              case None if nanCnt > 0 =>
+                // every non-null value is NaN: min and max are both NaN
+                row.update(i, nan)
               case None =>
                 // all-null chunk contributes nothing; stats missing on a
                 // value-bearing chunk would mean a silently wrong answer
@@ -1012,6 +1041,8 @@ final class GraftAggPartitionReader(part: GraftInputPartition, slots: Array[AggS
         org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(stat), dt.precision, dt.scale)
       case "string" => UTF8String.fromString(stat)
       case "bool"   => stat == "1"
+      case "double" => stat.toDouble
+      case "float"  => stat.toFloat
       case other    => throw new IllegalStateException(s"no exact agg stats for $other")
     }
 }

@@ -254,20 +254,35 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getLong(0) == 0L && e.isNullAt(1), e.toString)
   }
 
-  test("format(graft): double/float min-max refuse pushdown and stay NaN-exact") {
-    // chunk stats exclude NaN (they would poison range pruning), and Spark
-    // sorts NaN above +Inf — so MAX must fall back to a real decode
+  test("format(graft): double/float min-max pushed NaN-exact from metadata (nan_count)") {
+    // chunk stats exclude NaN from the range (it would poison pruning) but
+    // record nan_count; under Spark's NaN-above-+Inf ordering the pushed
+    // aggregate must still answer exactly, with zero blob decompression:
+    // v_double mixes NaN + finite, v_float is NaN-free, v_allnan has a NaN
+    // as its only non-null value, v_allnull contributes nothing
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
-      (1L, 1.5, 2.0f), (2L, Double.NaN, Float.NaN), (3L, -4.0, 0.5f))))
-      .toDF("id", "v_double", "v_float")
+      (1L, 1.5, 2.0f, Option.empty[Double], Option.empty[Double]),
+      (2L, Double.NaN, 0.25f, Some(Double.NaN), Option.empty[Double]),
+      (3L, -4.0, 0.5f, Option.empty[Double], Option.empty[Double])), 1))
+      .toDF("id", "v_double", "v_float", "v_allnan", "v_allnull")
     val out = s"$tmp/agg-nan"
-    df.write.format("graft").mode("overwrite").option("numPartitions", "1").save(out)
+    // two chunks (partitions): NaN lives in one chunk, the global max in another
+    df.repartition(2, col("id")).write.format("graft").mode("overwrite")
+      .option("numPartitions", "2").save(out)
     val src = spark.read.format("graft").load(out)
+    def aggs(d: DataFrame) = d.agg(
+      max("v_double"), min("v_double"), max("v_float"), min("v_float"),
+      max("v_allnan"), min("v_allnan"), max("v_allnull"), min("v_allnull"))
     graft.core.BlockCompression.resetCounters()
-    val got = src.agg(max("v_double"), min("v_double"), max("v_float")).collect().head
-    assert(graft.core.BlockCompression.decompressInputBytes > 0,
-      "float aggregates must decode, not trust NaN-excluding stats")
-    assert(got.getDouble(0).isNaN && got.getDouble(1) == -4.0 && got.getFloat(2).isNaN, got.toString)
+    val got = aggs(src).collect().head
+    assert(graft.core.BlockCompression.decompressInputBytes == 0,
+      "double/float min/max should now come from metadata alone")
+    assert(got.getDouble(0).isNaN && got.getDouble(1) == -4.0, got.toString)
+    assert(got.getFloat(2) == 2.0f && got.getFloat(3) == 0.25f, got.toString)
+    assert(got.getDouble(4).isNaN && got.getDouble(5).isNaN, got.toString)
+    assert(got.isNullAt(6) && got.isNullAt(7), got.toString)
+    // exactness vs Spark's own answer on the raw frame
+    assert(got.toString == aggs(df).collect().head.toString)
   }
 
   test("format(graft): limit pushdown decodes only the chunks it needs") {
