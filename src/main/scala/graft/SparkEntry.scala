@@ -604,6 +604,38 @@ object SparkEntry {
       } finally q.stop()
       s.table("q_stream_read").select("doc_id", "lang", "text").orderBy("doc_id")
     }),
+    // OPTIMIZE-style compaction: three appended batches rewritten as ONE
+    // by EncodeJob.compact, visibility swapped atomically by the
+    // compaction record. Hard gates: exactly one visible batch afterwards
+    // and fewer visible chunk files than before; the oracle proves the
+    // rewrite lost and invented nothing. Time travel (asOfBatch) must
+    // still see the pre-compaction batch 0 rows.
+    "q_compaction" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select("doc_id", "lang", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      docs.filter(col("doc_id") % 3 === 0).write.format("graft")
+        .mode("overwrite").option("numPartitions", "4").save(out)
+      docs.filter(col("doc_id") % 3 === 1).write.format("graft")
+        .mode("append").option("numPartitions", "4").save(out)
+      docs.filter(col("doc_id") % 3 === 2).write.format("graft")
+        .mode("append").option("numPartitions", "4").save(out)
+      def chunkFiles(batch: Option[Int]): Long = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/chunks"))
+        try st.filter(p => p.toString.endsWith(".parquet") &&
+          batch.forall(b => p.toString.contains(s"batch=$b"))).count()
+        finally st.close()
+      }
+      val before = chunkFiles(None)
+      val newBatch = EncodeJob.compact(s, out, targetPartitions = 2)
+      require(EncodeJob.committedBatches(s, out) == Set(newBatch),
+        "q_compaction: record did not swap visibility atomically")
+      require(chunkFiles(Some(newBatch)) < before,
+        "q_compaction: compaction did not reduce the visible file count")
+      val batch0 = s.read.format("graft").option("asOfBatch", "0").load(out).count()
+      require(batch0 == docs.filter(col("doc_id") % 3 === 0).count(),
+        s"q_compaction: time travel to batch 0 returned $batch0 rows")
+      s.read.format("graft").load(out).orderBy("doc_id")
+    }),
     "q_encode_metrics" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val codecs = EncodeJob.pinStringCodecs(docs, 5000)
@@ -696,6 +728,7 @@ object SparkEntry {
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
     "q_stream_read" -> "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+    "q_compaction" -> "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
     "q_source_agg" ->
       """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         | count(l_orderkey) AS n_rows,

@@ -176,15 +176,217 @@ object EncodeJob {
       .write.mode(SaveMode.Overwrite).parquet(filestatsBatchDir(outDir, batchId))
   }
 
-  /** Batch ids whose manifest rows are committed — the only batches a
-    * reader may decode. Empty when no manifest exists yet.
+  /** Batch ids whose manifest rows are committed, with compaction records
+    * applied — the only batches a BATCH reader may decode. A compaction
+    * record atomically swaps its `replaces` set for its own batch id, so
+    * a reader sees each row exactly once at every instant: before the
+    * record lands the old batches are served, after it only the compacted
+    * one. Empty when no manifest exists yet.
     */
-  def committedBatches(spark: SparkSession, outDir: String): Set[Int] = {
+  def committedBatches(spark: SparkSession, outDir: String): Set[Int] =
+    applyCompactions(manifestBatches(spark, outDir), compactions(spark, outDir))
+
+  /** Time travel: the batch set as of the moment `asOf` committed. Batch
+    * ids commit in increasing order on every write path, so "manifest ids
+    * ≤ asOf, compaction records with batch ≤ asOf applied" reconstructs
+    * exactly what a reader saw then — valid until `vacuum` physically
+    * removes replaced batches.
+    */
+  def committedBatchesAsOf(spark: SparkSession, outDir: String, asOf: Int): Set[Int] =
+    applyCompactions(
+      manifestBatches(spark, outDir).filter(_ <= asOf),
+      compactions(spark, outDir).filter(_.batch <= asOf))
+
+  /** Batch ids a STREAMING reader consumes: the original append batches,
+    * never compaction batches — a compacted batch holds only rows some
+    * earlier micro-batch already delivered, so surfacing it would
+    * double-read every row. Replaced batches stay streamable (their files
+    * survive until vacuum).
+    */
+  def streamBatches(spark: SparkSession, outDir: String): Set[Int] =
+    manifestBatches(spark, outDir) -- compactions(spark, outDir).map(_.batch)
+
+  private def manifestBatches(spark: SparkSession, outDir: String): Set[Int] = {
     import spark.implicits._
     val path = new org.apache.hadoop.fs.Path(manifestDir(outDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Set.empty
     else spark.read.parquet(manifestDir(outDir)).select("batch_id").distinct().as[Int].collect().toSet
+  }
+
+  private def applyCompactions(base: Set[Int], records: Seq[Compaction]): Set[Int] =
+    records.foldLeft(base)((acc, c) => acc -- c.replaces + c.batch) --
+      // a compaction replaced by a LATER compaction must not resurface
+      records.flatMap(_.replaces)
+
+  /** One committed compaction: chunks of `replaces` rewritten as batch
+    * `batch`. `maxPart` is the highest part_id the compacted batch holds,
+    * recorded so batch-id/part-id allocation can clear it even in the
+    * crash window before the compacted batch's manifest rows land.
+    */
+  final case class Compaction(batch: Int, replaces: Seq[Int], maxPart: Int)
+
+  def compactionsDir(outDir: String) = s"$outDir/compactions"
+
+  /** Committed compaction records, oldest first. Tiny driver-side reads:
+    * one record per compact() call over the dir's lifetime.
+    */
+  def compactions(spark: SparkSession, outDir: String): Seq[Compaction] = {
+    val dir = new org.apache.hadoop.fs.Path(compactionsDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Compaction]()
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith(".json") && !name.startsWith(".")) {
+        val in = fs.open(st.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val batch = """"batch"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+        val maxPart = """"max_part"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+        val replaces = """"replaces"\s*:\s*\[([\d,\s]*)\]""".r.findFirstMatchIn(text)
+          .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+        for (b <- batch; r <- replaces) out += Compaction(b, r, maxPart.getOrElse(-1))
+      }
+    }
+    out.sortBy(_.batch).toSeq
+  }
+
+  /** The commit point of compact(): create-temp + rename, atomic on the
+    * filesystems Spark targets.
+    */
+  private def writeCompactionRecord(spark: SparkSession, outDir: String, c: Compaction): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(compactionsDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".c${c.batch}.json.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, s"c${c.batch}.json")
+    val os = fs.create(tmp, /* overwrite */ true)
+    try os.write(
+      s"""{"batch":${c.batch},"replaces":[${c.replaces.sorted.mkString(",")}],"max_part":${c.maxPart}}"""
+        .getBytes("UTF-8"))
+    finally os.close()
+    require(fs.rename(tmp, dst), s"could not commit compaction record $dst")
+  }
+
+  /** Next batch id and part_id offset that clear EVERYTHING on disk —
+    * manifest rows, compaction records (covering the crash window where a
+    * record exists but the compacted batch's manifest rows don't yet),
+    * and orphan batch= chunk dirs (uncommitted crashed writes must not be
+    * silently overwritten by an append that happens to pick their id).
+    */
+  private[graft] def nextBatchAndPart(spark: SparkSession, outDir: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.max
+    val comps = compactions(spark, outDir)
+    val manifestPath = new org.apache.hadoop.fs.Path(manifestDir(outDir))
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (mBatch, mPart) =
+      if (!fs.exists(manifestPath)) (-1, -1)
+      else {
+        val r = spark.read.parquet(manifestDir(outDir))
+          .agg(max("batch_id"), max("part_id")).collect()(0)
+        (if (r.isNullAt(0)) -1 else r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))
+      }
+    val chunkRoot = new org.apache.hadoop.fs.Path(chunkDir(outDir))
+    val orphanMax =
+      if (!fs.exists(chunkRoot)) -1
+      else fs.listStatus(chunkRoot).iterator.map(_.getPath.getName).collect {
+        case n if n.startsWith("batch=") => n.stripPrefix("batch=").toInt
+      }.foldLeft(-1)(math.max)
+    val maxBatch = (Seq(mBatch, orphanMax) ++ comps.map(_.batch)).max
+    val maxPart = (Seq(mPart) ++ comps.map(_.maxPart)).max
+    (maxBatch + 1, maxPart + 1)
+  }
+
+  /** OPTIMIZE-style batch compaction: rewrite every currently-visible
+    * batch (or the `batches` subset) as ONE new batch of
+    * `targetPartitions` files, then atomically swap visibility via a
+    * compaction record. The rewrite is a full decode → re-encode through
+    * the normal batch path, so chunks come out at the configured target
+    * size with fresh dictionaries/stats/blooms — the answer to a
+    * streaming-encode dir that accumulated hundreds of small micro-batch
+    * files (at 100 TB, scan task count ∝ file count, so compaction is
+    * what keeps long-lived tables readable). Layout, compression,
+    * segmentation and pinned string codecs are inherited from the dir
+    * unless overridden; `keyColumn` re-clusters on rewrite (the
+    * rewrite-with-sort story).
+    *
+    * Crash-safe at every point: the record is the only commit — before it
+    * lands readers serve the old batches (a dead rewrite leaves an
+    * invisible orphan dir that the next compact overwrites); after it
+    * they serve only the new one. Replaced batches' files survive for
+    * time travel until `vacuum`.
+    *
+    * Single-writer, like every graft write path. Do NOT compact a dir a
+    * StreamingEncode sink still writes to: the sink derives batch ids
+    * from the stream's own epoch counter, which knows nothing about the
+    * compaction's higher id — stop the stream, compact, then resume
+    * reading (the stream SOURCE is unaffected: it ignores compaction
+    * batches and replaced batches stay streamable until vacuum).
+    */
+  def compact(spark: SparkSession, outDir: String, targetPartitions: Int,
+              keyColumn: Option[String] = None,
+              batches: Option[Set[Int]] = None,
+              compression: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.max
+    val visible = committedBatches(spark, outDir)
+    require(visible.nonEmpty, s"nothing to compact under $outDir")
+    val toCompact = batches.getOrElse(visible)
+    require(toCompact.nonEmpty && toCompact.subsetOf(visible),
+      s"batches $toCompact not a subset of visible $visible")
+
+    val schema = schemaFromDisk(spark, outDir).getOrElse(
+      throw new IllegalArgumentException(s"no ${schemaPath(outDir)} — cannot compact"))
+    // inherit the dir's own layout + codec decisions unless overridden
+    // (withChunkSchema null-fills columns older writers didn't have)
+    val chunkMeta = withChunkSchema(
+      spark.read.parquet(chunkDir(outDir))
+        .filter(col("batch").isInCollection(toCompact.toSeq.map(Integer.valueOf))))
+    val inheritedCompression = compression.getOrElse(
+      chunkMeta.select("compression").filter(col("compression").isNotNull)
+        .limit(1).collect().headOption.map(_.getString(0)).getOrElse("zlib"))
+    val segmented = !chunkMeta.select("seg_lens").filter(col("seg_lens").isNotNull)
+      .limit(1).collect().isEmpty
+    val bloomCols = chunkMeta.filter(col("bloom").isNotNull)
+      .select("column").distinct().collect().map(_.getString(0)).toSet
+    val cfg = Config(outDir, numPartitions = targetPartitions, keyColumn = keyColumn,
+      compression = inheritedCompression, segmented = segmented,
+      bloomColumns = bloomCols, partitionByColumn = isColumnPartitioned(spark, outDir))
+
+    val (newBatch, partOffset) = nextBatchAndPart(spark, outDir)
+    val df = decodeBatches(spark, outDir, toCompact, schema)
+    val manifest = Some(spark.read.parquet(manifestDir(outDir)))
+    val (entries, _) = encodeOneBatch(df, cfg, newBatch, partOffset, manifest,
+      schemaOverride = Some(schema))
+
+    // THE commit: swap old for new atomically
+    val maxPartWritten = entries.iterator.map(_.part_id).foldLeft(partOffset)(math.max)
+    writeCompactionRecord(spark, outDir, Compaction(newBatch, toCompact.toSeq.sorted, maxPartWritten))
+
+    // lineage/metrics after the commit point — a crash here loses metrics
+    // rows, never data visibility
+    import spark.implicits._
+    spark.createDataset(entries.toIndexedSeq).write.mode(SaveMode.Append)
+      .parquet(manifestDir(outDir))
+    newBatch
+  }
+
+  /** Physically delete replaced batches' chunk + filestats dirs. Breaks
+    * time travel to before their compaction and any stream still catching
+    * up on them — call only once downstream consumers are past. Manifest
+    * rows are kept as lineage history (committedBatches already excludes
+    * replaced ids).
+    */
+  def vacuum(spark: SparkSession, outDir: String): Seq[Int] = {
+    val replaced = compactions(spark, outDir).flatMap(_.replaces).distinct.sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    replaced.filter { b =>
+      val chunkPath = new org.apache.hadoop.fs.Path(chunkBatchDir(outDir, b))
+      val fs = chunkPath.getFileSystem(conf)
+      val existed = fs.exists(chunkPath)
+      fs.delete(chunkPath, /* recursive */ true)
+      fs.delete(new org.apache.hadoop.fs.Path(filestatsBatchDir(outDir, b)), true)
+      existed
+    }
   }
 
   /** Pin per-string-column codec decisions from a bounded sample drawn
@@ -270,20 +472,44 @@ object EncodeJob {
                existingManifest: Option[DataFrame]): Result = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (entries, specs) = encodeOneBatch(df, cfg, batchId,
+      partIdOffset = batchId * cfg.numPartitions, existingManifest)
+    // commit point: the batch is durable only once these rows land
+    spark.createDataset(entries.toIndexedSeq).write.mode(SaveMode.Append)
+      .parquet(manifestDir(cfg.outDir))
+    Result(specs, chunkDir(cfg.outDir), manifestDir(cfg.outDir), 1, 0)
+  }
+
+  /** Encode one DataFrame into batch `batchId`'s chunk + sidecar dirs and
+    * return its manifest rows WITHOUT committing them — the caller owns
+    * the commit point (runBatch: manifest append; compact: the compaction
+    * record). Until then the batch dir is an invisible orphan that a
+    * replay simply overwrites.
+    */
+  private def encodeOneBatch(df: DataFrame, cfg: Config, batchId: Int, partIdOffset: Int,
+                             existingManifest: Option[DataFrame],
+                             // compact passes the dir's persisted schema: the
+                             // decoded frame is all-nullable, and rewriting
+                             // schema.json from it would flip nullability
+                             // under later appends' schema guard
+                             schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : (Array[ManifestEntry], Array[ColumnSpec]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
 
     val stringCodecs: Map[String, String] = existingManifest
       .flatMap(m => m.select("codecs").limit(1).as[String].collect().headOption)
       .map(parseLineage)
       .getOrElse(pinStringCodecs(df, cfg.sampleRows))
-    val specs = TableEncoder.columnSpecs(df.schema, stringCodecs)
+    val schema = schemaOverride.getOrElse(df.schema)
+    val specs = TableEncoder.columnSpecs(schema, stringCodecs)
     val codecLineage = lineage(specs)
 
-    writeSchemaJson(spark, cfg.outDir, df.schema)
+    writeSchemaJson(spark, cfg.outDir, schema)
     val shredded = TableEncoder.shred(partitionWithSalt(df, cfg), specs)
-    val offset = batchId * cfg.numPartitions
     val t0 = System.nanoTime()
     val chunks = TableEncoder.encode(shredded, specs, cfg.strideRows,
-      cfg.chunkTargetBytes, partIdOffset = offset, aligned = cfg.alignedEncoding,
+      cfg.chunkTargetBytes, partIdOffset = partIdOffset, aligned = cfg.alignedEncoding,
       compression = cfg.compression, segmented = cfg.segmented,
       bloomColumns = cfg.bloomColumns)
     // Overwrite into the batch-scoped dir: a replay of a half-written
@@ -298,15 +524,11 @@ object EncodeJob {
       .agg(count(lit(1)).as("chunks"), sum($"row_count").as("rows"),
         sum($"raw_bytes").as("raw"), sum($"encoded_bytes").as("enc"))
       .collect()
-    val entries = summary.map { r =>
+    (summary.map { r =>
       ManifestEntry(r.getInt(0), batchId, r.getLong(1).toInt,
         r.getLong(2) / math.max(1, specs.length),
         r.getLong(3), r.getLong(4), wallMs, codecLineage)
-    }
-    spark.createDataset(entries.toIndexedSeq).write.mode(SaveMode.Append)
-      .parquet(manifestDir(cfg.outDir))
-
-    Result(specs, chunkDir(cfg.outDir), manifestDir(cfg.outDir), 1, 0)
+    }, specs)
   }
 
   /** Full run with resume: batches whose manifest rows are committed are
@@ -554,6 +776,24 @@ object EncodeJob {
     * single task. Always correct regardless of file layout; the fallback
     * when `colocatedLayoutOk` is false.
     */
+  /** Decode a specific batch subset (compaction's read side). The
+    * full-visible-set case routes through readBack so the zero-shuffle
+    * fast paths apply; a strict subset uses the always-correct shuffled
+    * decode over just those batches' chunk rows.
+    */
+  private def decodeBatches(spark: SparkSession, outDir: String, batches: Set[Int],
+                            schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val specs = specsFromManifest(spark, outDir, schema)
+    if (batches == committedBatches(spark, outDir)) readBack(spark, outDir, specs)
+    else {
+      val chunks = withChunkSchema(
+        spark.read.parquet(chunkDir(outDir))
+          .filter(col("batch").isInCollection(batches.toSeq.map(Integer.valueOf))))
+        .as[EncodedChunk](org.apache.spark.sql.Encoders.product[EncodedChunk])
+      TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
+    }
+  }
+
   def readBackShuffled(spark: SparkSession, outDir: String, specs: Array[ColumnSpec],
                        columns: Option[Seq[String]] = None): DataFrame = columns match {
     case None =>

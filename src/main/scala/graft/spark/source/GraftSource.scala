@@ -116,7 +116,9 @@ final class GraftTable(outDir: String, logicalSchema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(outDir, logicalSchema)
+    new GraftScanBuilder(outDir, logicalSchema,
+      // time travel: read the batch set as of a committed batch id
+      asOfBatch = Option(options.get("asOfBatch")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(outDir, info.options())
 }
@@ -207,15 +209,20 @@ object GraftWriteSupport {
     // the next batch id must ALSO clear every existing part_id: decode
     // groups chunks by (part_id, chunk_id) across batches, and runBatch
     // offsets part_ids by batchId × numPartitions — an append with fewer
-    // partitions than an earlier write would otherwise collide
-    val maxPart = manifest.get.agg(org.apache.spark.sql.functions.max("part_id"))
-      .collect()(0).getInt(0)
-    val batchId = math.max(committed.max + 1, maxPart / cfg.numPartitions + 1)
+    // partitions than an earlier write would otherwise collide.
+    // nextBatchAndPart consults manifest rows, compaction records AND
+    // orphan batch dirs, so an append right after a compaction (even one
+    // whose manifest rows haven't landed yet) can never reuse its id or
+    // its part range.
+    val (nextBatch, nextPart) = EncodeJob.nextBatchAndPart(spark, outDir)
+    val partTerm = if (nextPart <= 0) 0 else (nextPart - 1) / cfg.numPartitions + 1
+    val batchId = math.max(nextBatch, partTerm)
     EncodeJob.runBatch(data, cfg, batchId, manifest)
   }
 }
 
-final class GraftScanBuilder(outDir: String, logicalSchema: StructType)
+final class GraftScanBuilder(outDir: String, logicalSchema: StructType,
+                             asOfBatch: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = logicalSchema
@@ -283,7 +290,7 @@ final class GraftScanBuilder(outDir: String, logicalSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(outDir, logicalSchema, required, pushed, aggSlots, limit)
+    new GraftScan(outDir, logicalSchema, required, pushed, aggSlots, limit, asOfBatch)
 }
 
 /** One pushed aggregate function, resolved at plan time against the
@@ -334,8 +341,17 @@ object AggSlot {
 
 final class GraftScan(outDir: String, logicalSchema: StructType,
                       required: StructType, pushed: Array[Filter],
-                      aggSlots: Option[Array[AggSlot]], limit: Int)
+                      aggSlots: Option[Array[AggSlot]], limit: Int,
+                      asOfBatch: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  /** Batch set this scan serves: compaction records applied, optionally
+    * rewound to the `asOfBatch` time-travel point.
+    */
+  private def visibleBatches: Set[Int] = asOfBatch match {
+    case Some(n) => EncodeJob.committedBatchesAsOf(spark, outDir, n)
+    case None    => EncodeJob.committedBatches(spark, outDir)
+  }
 
   /** Join-driven runtime pruning (DPP's DataSource V2 form): Spark
     * collects the build side's keys at runtime and hands them back as IN
@@ -360,7 +376,7 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     */
   override def estimateStatistics(): Statistics = {
     import org.apache.spark.sql.functions.{col, sum}
-    val committed = EncodeJob.committedBatches(spark, outDir)
+    val committed = visibleBatches
     val agg = spark.read.parquet(EncodeJob.manifestDir(outDir))
       .filter(col("batch_id").isin(committed.toSeq: _*))
       .agg(sum("row_count"), sum("raw_bytes")).collect()(0)
@@ -401,8 +417,16 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
   private lazy val allSpecs: Array[ColumnSpec] =
     EncodeJob.specsFromManifest(spark, outDir, logicalSchema)
 
-  private[source] def maxCommittedBatch: Int =
-    EncodeJob.committedBatches(spark, outDir).foldLeft(-1)(math.max)
+  /** Streaming offset ceiling: original APPEND batches only. Compaction
+    * batches are excluded (their rows were already delivered by the
+    * batches they replaced), and replaced batches stay streamable until
+    * vacuum — so a running stream sees compaction as a non-event.
+    */
+  private[source] def maxStreamBatch: Int =
+    EncodeJob.streamBatches(spark, outDir).foldLeft(-1)(math.max)
+
+  private[source] def streamVisible: Set[Int] =
+    EncodeJob.streamBatches(spark, outDir)
 
   override def readSchema(): StructType = aggSlots match {
     case Some(slots) => StructType(slots.zipWithIndex.map { case (s, i) =>
@@ -476,15 +500,16 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    planPartitionsFor(_ => true)
+    planPartitionsFor(visibleBatches, _ => true)
 
-  /** Batch planning shared by the one-shot scan (batchKeep = all
-    * committed) and the micro-batch stream (batchKeep = one committed
-    * batch-id range).
+  /** Batch planning shared by the one-shot scan (visible = committed with
+    * compactions/time-travel applied, batchKeep = all) and the
+    * micro-batch stream (visible = original append batches, batchKeep =
+    * one batch-id range).
     */
-  private[source] def planPartitionsFor(batchKeep: Int => Boolean): Array[InputPartition] = {
+  private[source] def planPartitionsFor(committed: Set[Int],
+                                        batchKeep: Int => Boolean): Array[InputPartition] = {
     val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
-    val committed = EncodeJob.committedBatches(spark, outDir)
     val dir = new Path(EncodeJob.chunkDir(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(dir), s"no chunk dir under $outDir")
@@ -594,14 +619,14 @@ final class GraftMicroBatchStream(scan: GraftScan)
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   override def initialOffset(): Offset = GraftBatchOffset(-1)
-  override def latestOffset(): Offset = GraftBatchOffset(scan.maxCommittedBatch)
+  override def latestOffset(): Offset = GraftBatchOffset(scan.maxStreamBatch)
   override def deserializeOffset(json: String): Offset =
     GraftBatchOffset("""-?\d+""".r.findFirstIn(json).getOrElse(
       throw new IllegalArgumentException(s"bad graft offset: $json")).toInt)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftBatchOffset].maxBatch
     val e = end.asInstanceOf[GraftBatchOffset].maxBatch
-    scan.planPartitionsFor(b => b > s && b <= e)
+    scan.planPartitionsFor(scan.streamVisible, b => b > s && b <= e)
   }
   override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
   override def commit(offset: Offset): Unit = () // batches are immutable once committed

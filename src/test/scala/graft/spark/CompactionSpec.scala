@@ -1,0 +1,164 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** OPTIMIZE-style compaction + time travel + vacuum: many small committed
+  * batches rewritten as one, visibility swapped atomically by the
+  * compaction record, history readable via asOfBatch until vacuumed, and
+  * streams never double-read across a compaction.
+  */
+class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val tmp = Files.createTempDirectory("graft-compact").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-compaction-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def frame(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id"),
+      concat(lit("txt"), col("id")).as("s"),
+      (col("id") % 7).cast("double").as("v"))
+
+  private def canon(df: DataFrame): Array[String] = df.collect().map(_.toString).sorted
+
+  private def chunkFiles(out: String): Seq[String] = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/chunks"))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toList
+    } finally s.close()
+  }
+
+  /** Three appended batches shared by most cases. */
+  private lazy val out: String = {
+    val o = s"$tmp/main"
+    frame(0, 1000).write.format("graft").mode("overwrite").option("numPartitions", "4").save(o)
+    frame(1000, 2000).write.format("graft").mode("append").option("numPartitions", "4").save(o)
+    frame(2000, 3000).write.format("graft").mode("append").option("numPartitions", "4").save(o)
+    o
+  }
+
+  test("compact rewrites all visible batches into one; reads stay exact, files shrink") {
+    val before = chunkFiles(out).size
+    assert(EncodeJob.committedBatches(spark, out) == Set(0, 1, 2))
+    val newBatch = EncodeJob.compact(spark, out, targetPartitions = 2)
+    assert(EncodeJob.committedBatches(spark, out) == Set(newBatch))
+    // every read surface serves the identical rows
+    assert(canon(spark.read.format("graft").load(out)) sameElements canon(frame(0, 3000)))
+    assert(canon(EncodeJob.readBack(spark, out)) sameElements canon(frame(0, 3000)))
+    // files of the VISIBLE set shrank (old dirs still on disk for time travel)
+    val visibleFiles = chunkFiles(out).count(_.contains(s"batch=$newBatch"))
+    assert(visibleFiles > 0 && visibleFiles < before,
+      s"$visibleFiles visible files vs $before before")
+    // aggregate pushdown still engages on the compacted dir
+    graft.core.BlockCompression.resetCounters()
+    val agg = spark.read.format("graft").load(out)
+      .agg(count(col("id")), min(col("id")), max(col("v"))).collect().head
+    assert(graft.core.BlockCompression.decompressInputBytes == 0)
+    assert(agg.getLong(0) == 3000L && agg.getLong(1) == 0L && agg.getDouble(2) == 6.0)
+  }
+
+  test("asOfBatch time travel reads historical batch sets until vacuum") {
+    val newBatch = EncodeJob.compactions(spark, out).head.batch // ensure `out` compacted
+    // as of batch 0: only the first append
+    val asOf0 = spark.read.format("graft").option("asOfBatch", "0").load(out)
+    assert(canon(asOf0) sameElements canon(frame(0, 1000)))
+    // as of batch 1: first two appends
+    assert(spark.read.format("graft").option("asOfBatch", "1").load(out).count() == 2000L)
+    // as of the compaction batch: identical to the present
+    assert(spark.read.format("graft").option("asOfBatch", newBatch.toString).load(out)
+      .count() == 3000L)
+    // vacuum removes replaced batches' files; present reads survive,
+    // history does not
+    val removed = EncodeJob.vacuum(spark, out)
+    assert(removed == Seq(0, 1, 2), removed.toString)
+    assert(spark.read.format("graft").load(out).count() == 3000L)
+    assert(spark.read.format("graft").option("asOfBatch", "0").load(out).count() == 0L)
+  }
+
+  test("append after compaction: fresh ids, no part collisions, both served") {
+    val o = s"$tmp/append-after"
+    frame(0, 500).write.format("graft").mode("overwrite").option("numPartitions", "3").save(o)
+    frame(500, 1000).write.format("graft").mode("append").option("numPartitions", "3").save(o)
+    val cBatch = EncodeJob.compact(spark, o, targetPartitions = 2)
+    frame(1000, 1500).write.format("graft").mode("append").option("numPartitions", "3").save(o)
+    val visible = EncodeJob.committedBatches(spark, o)
+    assert(visible.contains(cBatch) && visible.size == 2, visible.toString)
+    assert(canon(spark.read.format("graft").load(o)) sameElements canon(frame(0, 1500)))
+    // (part_id, chunk_id, column) unique across the visible set
+    val dup = spark.read.parquet(s"$o/chunks")
+      .filter(col("batch").isInCollection(visible.toSeq.map(Integer.valueOf)))
+      .groupBy("part_id", "chunk_id", "column").count().filter(col("count") > 1).count()
+    assert(dup == 0, "part_id collision after compaction")
+  }
+
+  test("compact a subset of batches; layout + codecs inherited") {
+    val o = s"$tmp/subset"
+    frame(0, 400).write.format("graft").mode("overwrite")
+      .option("numPartitions", "2").option("compression", "zstd").save(o)
+    frame(400, 800).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+    frame(800, 1200).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+    val cBatch = EncodeJob.compact(spark, o, targetPartitions = 1, batches = Some(Set(0, 1)))
+    assert(EncodeJob.committedBatches(spark, o) == Set(2, cBatch))
+    assert(canon(spark.read.format("graft").load(o)) sameElements canon(frame(0, 1200)))
+    // compression inherited from the dir, not reset to the default
+    val kinds = spark.read.parquet(s"$o/chunks")
+      .filter(col("batch") === cBatch).select("compression")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("zstd"), kinds.toString)
+  }
+
+  test("a crashed compaction (chunks written, record missing) stays invisible") {
+    val o = s"$tmp/crash"
+    frame(0, 300).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    // simulate the crash window: a compacted batch dir + sidecar exist but
+    // the record (the commit) never landed — write chunks under a high
+    // batch id by copying the real batch dir
+    val src = new java.io.File(s"$o/chunks/batch=0")
+    val dst = new java.io.File(s"$o/chunks/batch=99")
+    org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    assert(EncodeJob.committedBatches(spark, o) == Set(0), "orphan batch leaked into reads")
+    assert(spark.read.format("graft").load(o).count() == 300L)
+    // and the next append clears the orphan id instead of overwriting it
+    frame(300, 600).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+    assert(EncodeJob.committedBatches(spark, o).max == 100,
+      EncodeJob.committedBatches(spark, o).toString)
+    assert(spark.read.format("graft").load(o).count() == 600L)
+  }
+
+  test("streams never double-read across a compaction") {
+    val o = s"$tmp/stream"
+    frame(0, 200).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    frame(200, 400).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+    val q = spark.readStream.format("graft").load(o)
+      .writeStream.format("memory").queryName("compact_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("compact_stream").count() == 400L)
+      // compaction: a running stream must see a NON-EVENT
+      EncodeJob.compact(spark, o, targetPartitions = 1)
+      q.processAllAvailable()
+      assert(spark.table("compact_stream").count() == 400L, "stream double-read the compacted batch")
+      // appends after compaction still stream exactly once
+      frame(400, 500).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+      q.processAllAvailable()
+      val rows = spark.table("compact_stream")
+      assert(rows.count() == 500L)
+      assert(rows.select("id").distinct().count() == 500L, "duplicate rows in stream")
+    } finally q.stop()
+  }
+}
