@@ -636,6 +636,34 @@ object SparkEntry {
         s"q_compaction: time travel to batch 0 returned $batch0 rows")
       s.read.format("graft").load(out).orderBy("doc_id")
     }),
+    // rewrite-with-sort: sortColumns clusters rows within each encode
+    // partition, so chunk min/max ranges become near-disjoint and a range
+    // predicate decompresses a fraction of the full scan (hard-gated);
+    // the order is reported to Catalyst via SupportsReportOrdering
+    // (hard-gated on the executed plan's scan node)
+    "q_sorted_scan" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val out = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+      li.write.format("graft").mode("overwrite").option("numPartitions", "4")
+        .option("chunkTargetBytes", "65536").option("sortColumns", "l_orderkey").save(out)
+      val src = s.read.format("graft").load(out)
+      val ordering = src.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.outputOrdering
+      }.head
+      require(ordering.nonEmpty, "q_sorted_scan: sort claim did not reach the scan plan")
+      val res = src.filter(col("l_orderkey").between(100L, 200L))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      graft.core.BlockCompression.resetCounters()
+      val n = res.collect().length
+      val pruned = graft.core.BlockCompression.decompressInputBytes
+      graft.core.BlockCompression.resetCounters()
+      src.collect() // decode-all baseline on the same dir (count() would
+                    // hit the metadata-only aggregate path: 0 bytes)
+      val full = graft.core.BlockCompression.decompressInputBytes
+      require(n == 0 || pruned * 2 < full,
+        s"q_sorted_scan: clustered pruning ineffective ($pruned of $full bytes)")
+      res
+    }),
     "q_encode_metrics" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val codecs = EncodeJob.pinStringCodecs(docs, 5000)
@@ -729,6 +757,10 @@ object SparkEntry {
         |ORDER BY a.doc_id""".stripMargin,
     "q_stream_read" -> "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
     "q_compaction" -> "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+    "q_sorted_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 200
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_source_agg" ->
       """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         | count(l_orderkey) AS n_rows,

@@ -57,6 +57,12 @@ object EncodeJob {
       // web scale. Tiny inputs (sampled rows < SaltSampleFloor) fall
       // back to an exact narrow scan.
       saltSampleFraction: Double = 0.001,
+      // sort rows WITHIN each encode partition before chunking. Clustered
+      // chunks get near-disjoint min/max ranges (pruning selectivity) and
+      // longer runs/denser dictionaries (compression); the DSv2 scan
+      // reports the resulting per-partition order to Catalyst via
+      // SupportsReportOrdering when every visible batch holds the claim
+      sortColumns: Seq[String] = Nil,
       // the reference's EncodingStrategy knob (WriterConfiguration.cs:49):
       // aligned=true restricts RLEv2 DIRECT/PATCHED widths to the
       // CPU-friendly table (Speed), trading a little size for decode speed
@@ -109,6 +115,53 @@ object EncodeJob {
     val out = fs.create(path, /* overwrite = */ true)
     try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  def layoutPath(outDir: String) = s"$outDir/layout.json"
+
+  /** The dir-wide sort claim: non-empty iff EVERY visible batch was
+    * written with `sortColumns` = exactly these columns (the write path
+    * maintains the invariant — an append under a different sort resets
+    * the claim to empty rather than lie). The DSv2 scan turns a live
+    * claim into a SupportsReportOrdering answer.
+    */
+  def sortColumnsFromDisk(spark: SparkSession, outDir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(layoutPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return Nil
+    val in = fs.open(path)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"sortColumns"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(text)
+      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  }
+
+  private def writeLayoutJson(spark: SparkSession, outDir: String, sortColumns: Seq[String]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(layoutPath(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, /* overwrite = */ true)
+    try out.write(
+      s"""{"sortColumns":[${sortColumns.map(c => s""""$c"""").mkString(",")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Maintain the sort claim for a write of `sortColumns` into a dir
+    * whose prior batches were written under `existing` (Nil for a fresh
+    * dir). The claim survives only when every batch agrees; any mismatch
+    * (including appending sorted data onto unsorted batches) degrades it
+    * to empty — conservative in every crash window, since a dropped claim
+    * only costs Catalyst an ordering fact, never correctness.
+    */
+  private def maintainSortClaim(spark: SparkSession, outDir: String, cfg: Config,
+                                hadBatches: Boolean): Unit = {
+    val existing = sortColumnsFromDisk(spark, outDir)
+    val claim =
+      if (!hadBatches) cfg.sortColumns
+      else if (existing == cfg.sortColumns) existing
+      else Nil
+    if (claim.nonEmpty || existing.nonEmpty) writeLayoutJson(spark, outDir, claim)
   }
 
   /** The persisted logical schema, when this outDir was written by a
@@ -326,7 +379,10 @@ object EncodeJob {
   def compact(spark: SparkSession, outDir: String, targetPartitions: Int,
               keyColumn: Option[String] = None,
               batches: Option[Set[Int]] = None,
-              compression: Option[String] = None): Int = {
+              compression: Option[String] = None,
+              // rewrite-with-sort: Nil inherits the dir's existing sort
+              // claim (a sorted dir stays sorted through compaction)
+              sortColumns: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.max
     val visible = committedBatches(spark, outDir)
     require(visible.nonEmpty, s"nothing to compact under $outDir")
@@ -348,9 +404,12 @@ object EncodeJob {
       .limit(1).collect().isEmpty
     val bloomCols = chunkMeta.filter(col("bloom").isNotNull)
       .select("column").distinct().collect().map(_.getString(0)).toSet
+    val effectiveSort =
+      if (sortColumns.nonEmpty) sortColumns else sortColumnsFromDisk(spark, outDir)
     val cfg = Config(outDir, numPartitions = targetPartitions, keyColumn = keyColumn,
       compression = inheritedCompression, segmented = segmented,
-      bloomColumns = bloomCols, partitionByColumn = isColumnPartitioned(spark, outDir))
+      bloomColumns = bloomCols, partitionByColumn = isColumnPartitioned(spark, outDir),
+      sortColumns = effectiveSort)
 
     val (newBatch, partOffset) = nextBatchAndPart(spark, outDir)
     val df = decodeBatches(spark, outDir, toCompact, schema)
@@ -361,6 +420,12 @@ object EncodeJob {
     // THE commit: swap old for new atomically
     val maxPartWritten = entries.iterator.map(_.part_id).foldLeft(partOffset)(math.max)
     writeCompactionRecord(spark, outDir, Compaction(newBatch, toCompact.toSeq.sorted, maxPartWritten))
+
+    // a FULL compact leaves the new batch as the only visible one, so its
+    // sort IS the dir's sort — upgrade the claim the conservative
+    // maintain rule (which saw prior batches) would have dropped
+    if (toCompact == visible && effectiveSort.nonEmpty)
+      writeLayoutJson(spark, outDir, effectiveSort)
 
     // lineage/metrics after the commit point — a crash here loses metrics
     // rows, never data visibility
@@ -423,7 +488,16 @@ object EncodeJob {
     * (pruning reaches the source scan) and samples it; only relative
     * frequencies are used, so the sample scale cancels out.
     */
-  def partitionWithSalt(df: DataFrame, cfg: Config): DataFrame = cfg.keyColumn match {
+  def partitionWithSalt(df: DataFrame, cfg: Config): DataFrame = {
+    val partitioned = partitionUnsorted(df, cfg)
+    if (cfg.sortColumns.isEmpty) partitioned
+    // per-partition sort only — no range exchange, the partitioning
+    // (hash/salt) above is untouched; asc_nulls_first matches the
+    // SortDirection.ASCENDING default the scan reports back
+    else partitioned.sortWithinPartitions(cfg.sortColumns.map(col): _*)
+  }
+
+  private def partitionUnsorted(df: DataFrame, cfg: Config): DataFrame = cfg.keyColumn match {
     case None => df.repartition(cfg.numPartitions)
     case Some(key) =>
       def histogram(src: DataFrame): Array[(String, Long)] =
@@ -506,6 +580,7 @@ object EncodeJob {
     val codecLineage = lineage(specs)
 
     writeSchemaJson(spark, cfg.outDir, schema)
+    maintainSortClaim(spark, cfg.outDir, cfg, hadBatches = existingManifest.isDefined)
     val shredded = TableEncoder.shred(partitionWithSalt(df, cfg), specs)
     val t0 = System.nanoTime()
     val chunks = TableEncoder.encode(shredded, specs, cfg.strideRows,
@@ -560,6 +635,7 @@ object EncodeJob {
     val codecLineage = lineage(specs)
 
     writeSchemaJson(spark, cfg.outDir, df.schema)
+    maintainSortClaim(spark, cfg.outDir, cfg, hadBatches = existingManifest.isDefined)
     val partitioned = partitionWithSalt(df, cfg)
     val shredded = TableEncoder.shred(partitioned, specs)
 

@@ -19,10 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expressi
 import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
@@ -149,7 +149,10 @@ object GraftWriteSupport {
   /** Writer options (all optional): numPartitions, keyColumn, saltColumn,
     * compression (zlib|zstd|lz4|none), segmented, alignedEncoding,
     * strideRows, chunkTargetBytes, commitBatches, sampleRows,
-    * bloomColumns (comma-separated), partitionByColumn.
+    * bloomColumns (comma-separated), sortColumns (comma-separated —
+    * per-partition sort before chunking: clustered chunk ranges for
+    * pruning, reported back to Catalyst via SupportsReportOrdering),
+    * partitionByColumn.
     */
   def configFrom(outDir: String, o: CaseInsensitiveStringMap,
                  spark: SparkSession): EncodeJob.Config = {
@@ -172,6 +175,8 @@ object GraftWriteSupport {
       segmented = opt("segmented").forall(_.toBoolean),
       bloomColumns = opt("bloomColumns").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty),
+      sortColumns = opt("sortColumns").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil),
       partitionByColumn = opt("partitionByColumn").exists(_.toBoolean))
   }
 
@@ -343,7 +348,29 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
                       required: StructType, pushed: Array[Filter],
                       aggSlots: Option[Array[AggSlot]], limit: Int,
                       asOfBatch: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportOrdering {
+
+  /** Per-partition ordering from the dir's sort claim (layout.json,
+    * maintained by the write path: non-empty only when EVERY visible
+    * batch was written sortWithinPartitions by exactly these columns).
+    * Each input partition is one file (or one zipped column group) read
+    * in row order, and pruning/residual filters/limits only ever DROP
+    * rows, so the claim survives the scan verbatim. Catalyst uses it to
+    * elide per-partition Sorts above the scan. Not reported for
+    * aggregate-mode scans (partials have no row order) or time-travel
+    * reads (a historical view may include batches that predate the
+    * claim).
+    */
+  override def outputOrdering(): Array[SortOrder] = {
+    if (aggSlots.isDefined || asOfBatch.isDefined) return Array.empty
+    val claim = EncodeJob.sortColumnsFromDisk(spark, outDir)
+    if (claim.nonEmpty &&
+        claim.forall(c => required.fields.exists(_.name.equalsIgnoreCase(c))))
+      claim.map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+    else Array.empty
+  }
 
   /** Batch set this scan serves: compaction records applied, optionally
     * rewound to the `asOfBatch` time-travel point.
