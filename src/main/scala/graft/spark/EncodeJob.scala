@@ -157,9 +157,14 @@ object EncodeJob {
   private def maintainSortClaim(spark: SparkSession, outDir: String, cfg: Config,
                                 hadBatches: Boolean): Unit = {
     val existing = sortColumnsFromDisk(spark, outDir)
+    // names the hand-rolled JSON can't round-trip (quotes/commas/brackets)
+    // never become a claim — the data is still sorted and prunes, the dir
+    // just doesn't advertise an ordering Catalyst could mis-trust
+    val claimable = cfg.sortColumns.forall(_.matches("""[\w.\- ]+"""))
+    val requested = if (claimable) cfg.sortColumns else Nil
     val claim =
-      if (!hadBatches) cfg.sortColumns
-      else if (existing == cfg.sortColumns) existing
+      if (!hadBatches) requested
+      else if (existing == requested) existing
       else Nil
     if (claim.nonEmpty || existing.nonEmpty) writeLayoutJson(spark, outDir, claim)
   }
@@ -275,9 +280,13 @@ object EncodeJob {
   /** One committed compaction: chunks of `replaces` rewritten as batch
     * `batch`. `maxPart` is the highest part_id the compacted batch holds,
     * recorded so batch-id/part-id allocation can clear it even in the
-    * crash window before the compacted batch's manifest rows land.
+    * crash window before the compacted batch's manifest rows land;
+    * `rows`/`rawBytes` let estimateStatistics serve truthful numbers in
+    * that same window (a table must never look empty to the broadcast
+    * planner just because its metrics rows lag the record).
     */
-  final case class Compaction(batch: Int, replaces: Seq[Int], maxPart: Int)
+  final case class Compaction(batch: Int, replaces: Seq[Int], maxPart: Int,
+                              rows: Long = 0L, rawBytes: Long = 0L)
 
   def compactionsDir(outDir: String) = s"$outDir/compactions"
 
@@ -294,11 +303,14 @@ object EncodeJob {
       if (name.endsWith(".json") && !name.startsWith(".")) {
         val in = fs.open(st.getPath)
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        val batch = """"batch"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
-        val maxPart = """"max_part"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toInt)
+        def num(key: String): Option[Long] =
+          raw""""$key"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+        val batch = num("batch").map(_.toInt)
         val replaces = """"replaces"\s*:\s*\[([\d,\s]*)\]""".r.findFirstMatchIn(text)
           .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
-        for (b <- batch; r <- replaces) out += Compaction(b, r, maxPart.getOrElse(-1))
+        for (b <- batch; r <- replaces) out += Compaction(b, r,
+          num("max_part").map(_.toInt).getOrElse(-1),
+          num("rows").getOrElse(0L), num("raw_bytes").getOrElse(0L))
       }
     }
     out.sortBy(_.batch).toSeq
@@ -315,7 +327,8 @@ object EncodeJob {
     val dst = new org.apache.hadoop.fs.Path(dir, s"c${c.batch}.json")
     val os = fs.create(tmp, /* overwrite */ true)
     try os.write(
-      s"""{"batch":${c.batch},"replaces":[${c.replaces.sorted.mkString(",")}],"max_part":${c.maxPart}}"""
+      (s"""{"batch":${c.batch},"replaces":[${c.replaces.sorted.mkString(",")}],""" +
+        s""""max_part":${c.maxPart},"rows":${c.rows},"raw_bytes":${c.rawBytes}}""")
         .getBytes("UTF-8"))
     finally os.close()
     require(fs.rename(tmp, dst), s"could not commit compaction record $dst")
@@ -365,9 +378,9 @@ object EncodeJob {
     *
     * Crash-safe at every point: the record is the only commit — before it
     * lands readers serve the old batches (a dead rewrite leaves an
-    * invisible orphan dir that the next compact overwrites); after it
-    * they serve only the new one. Replaced batches' files survive for
-    * time travel until `vacuum`.
+    * invisible orphan dir that `vacuum` reclaims; later writes allocate
+    * PAST its id, never over it); after it they serve only the new one.
+    * Replaced batches' files survive for time travel until `vacuum`.
     *
     * Single-writer, like every graft write path. Do NOT compact a dir a
     * StreamingEncode sink still writes to: the sink derives batch ids
@@ -419,12 +432,15 @@ object EncodeJob {
 
     // THE commit: swap old for new atomically
     val maxPartWritten = entries.iterator.map(_.part_id).foldLeft(partOffset)(math.max)
-    writeCompactionRecord(spark, outDir, Compaction(newBatch, toCompact.toSeq.sorted, maxPartWritten))
+    writeCompactionRecord(spark, outDir, Compaction(newBatch, toCompact.toSeq.sorted,
+      maxPartWritten, rows = entries.iterator.map(_.row_count).sum,
+      rawBytes = entries.iterator.map(_.raw_bytes).sum))
 
     // a FULL compact leaves the new batch as the only visible one, so its
     // sort IS the dir's sort — upgrade the claim the conservative
     // maintain rule (which saw prior batches) would have dropped
-    if (toCompact == visible && effectiveSort.nonEmpty)
+    if (toCompact == visible && effectiveSort.nonEmpty &&
+        effectiveSort.forall(_.matches("""[\w.\- ]+""")))
       writeLayoutJson(spark, outDir, effectiveSort)
 
     // lineage/metrics after the commit point — a crash here loses metrics
@@ -435,18 +451,33 @@ object EncodeJob {
     newBatch
   }
 
-  /** Physically delete replaced batches' chunk + filestats dirs. Breaks
-    * time travel to before their compaction and any stream still catching
-    * up on them — call only once downstream consumers are past. Manifest
-    * rows are kept as lineage history (committedBatches already excludes
-    * replaced ids).
+  /** Physically delete (a) replaced batches' chunk + filestats dirs and
+    * (b) ORPHAN batch dirs — ids never committed by a manifest row or a
+    * compaction record, i.e. the leftovers of crashed writes/compactions
+    * (a crashed full-table rewrite is a 100% copy of the data; it must be
+    * reclaimable). Breaks time travel to before the compactions and any
+    * stream still catching up on replaced batches — streams detect the
+    * gap and fail loudly rather than skip. Manifest rows are kept as
+    * lineage history (committedBatches already excludes replaced ids).
+    * Single-writer, like every graft write path: do not vacuum while
+    * another writer may be mid-batch (its uncommitted dir looks like an
+    * orphan).
     */
   def vacuum(spark: SparkSession, outDir: String): Seq[Int] = {
-    val replaced = compactions(spark, outDir).flatMap(_.replaces).distinct.sorted
+    val records = compactions(spark, outDir)
+    val owned = manifestBatches(spark, outDir) ++ records.map(_.batch)
     val conf = spark.sparkContext.hadoopConfiguration
-    replaced.filter { b =>
+    val chunkRoot = new org.apache.hadoop.fs.Path(chunkDir(outDir))
+    val fs = chunkRoot.getFileSystem(conf)
+    val onDisk =
+      if (!fs.exists(chunkRoot)) Seq.empty[Int]
+      else fs.listStatus(chunkRoot).iterator.map(_.getPath.getName).collect {
+        case n if n.startsWith("batch=") => n.stripPrefix("batch=").toInt
+      }.toSeq
+    val orphans = onDisk.filterNot(owned.contains)
+    val replaced = records.flatMap(_.replaces).distinct
+    (replaced ++ orphans).distinct.sorted.filter { b =>
       val chunkPath = new org.apache.hadoop.fs.Path(chunkBatchDir(outDir, b))
-      val fs = chunkPath.getFileSystem(conf)
       val existed = fs.exists(chunkPath)
       fs.delete(chunkPath, /* recursive */ true)
       fs.delete(new org.apache.hadoop.fs.Path(filestatsBatchDir(outDir, b)), true)

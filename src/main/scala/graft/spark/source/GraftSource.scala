@@ -364,21 +364,30 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     */
   override def outputOrdering(): Array[SortOrder] = {
     if (aggSlots.isDefined || asOfBatch.isDefined) return Array.empty
-    val claim = EncodeJob.sortColumnsFromDisk(spark, outDir)
-    if (claim.nonEmpty &&
-        claim.forall(c => required.fields.exists(_.name.equalsIgnoreCase(c))))
-      claim.map(c => Expressions.sort(Expressions.column(c),
-        SortDirection.ASCENDING)).toArray
-    else Array.empty
+    visibleBatches // pin the snapshot BEFORE vouching for its order
+    // the longest claim PREFIX inside the read schema still holds (rows
+    // sorted by (a, b) are sorted by (a)); a gap column breaks the chain
+    sortClaim.takeWhile(c => required.fields.exists(_.name.equalsIgnoreCase(c)))
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      .toArray
   }
 
   /** Batch set this scan serves: compaction records applied, optionally
-    * rewound to the `asOfBatch` time-travel point.
+    * rewound to the `asOfBatch` time-travel point. A lazy SNAPSHOT, pinned
+    * on first use (logical planning) and reused at execution — the same
+    * reason Iceberg/Delta pin a snapshot per scan: outputOrdering is
+    * captured at plan time, so the batch set it vouches for must not
+    * drift to include a concurrent unsorted append before
+    * planInputPartitions runs. Also saves re-listing manifest +
+    * compactions on every planning callback.
     */
-  private def visibleBatches: Set[Int] = asOfBatch match {
+  private lazy val visibleBatches: Set[Int] = asOfBatch match {
     case Some(n) => EncodeJob.committedBatchesAsOf(spark, outDir, n)
     case None    => EncodeJob.committedBatches(spark, outDir)
   }
+
+  /** Sort claim pinned with the same snapshot semantics. */
+  private lazy val sortClaim: Seq[String] = EncodeJob.sortColumnsFromDisk(spark, outDir)
 
   /** Join-driven runtime pruning (DPP's DataSource V2 form): Spark
     * collects the build side's keys at runtime and hands them back as IN
@@ -404,11 +413,20 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
   override def estimateStatistics(): Statistics = {
     import org.apache.spark.sql.functions.{col, sum}
     val committed = visibleBatches
-    val agg = spark.read.parquet(EncodeJob.manifestDir(outDir))
+    val perBatch = spark.read.parquet(EncodeJob.manifestDir(outDir))
       .filter(col("batch_id").isin(committed.toSeq: _*))
-      .agg(sum("row_count"), sum("raw_bytes")).collect()(0)
-    val rows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-    val raw = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      .groupBy(col("batch_id"))
+      .agg(sum("row_count").as("r"), sum("raw_bytes").as("b")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a compaction batch is visible the instant its record lands, which
+    // can be BEFORE its manifest metrics rows — fall back to the record's
+    // own totals so the table never looks empty to the broadcast planner
+    val recorded = EncodeJob.compactions(spark, outDir)
+      .map(c => c.batch -> (c.rows, c.rawBytes)).toMap
+    val (rows, raw) = committed.foldLeft((0L, 0L)) { case ((r, b), batch) =>
+      val (dr, db) = perBatch.getOrElse(batch, recorded.getOrElse(batch, (0L, 0L)))
+      (r + dr, b + db)
+    }
     val colFraction =
       if (logicalSchema.fields.isEmpty) 1.0
       else math.max(1, emitColumns.size).toDouble / logicalSchema.fields.length
@@ -631,8 +649,17 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     * chunk-level pruning; aggregates are never pushed on streams.
     */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // loud, not silent: time travel has no meaning for a live stream
+    require(asOfBatch.isEmpty,
+      "asOfBatch is a batch-read option; streams always follow the live append log")
     new GraftMicroBatchStream(this)
+  }
+
+  private[source] def chunkBatchDirExists(b: Int): Boolean = {
+    val p = new Path(EncodeJob.chunkBatchDir(outDir, b))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }
 
 /** Offset = highest committed batch id read so far (-1 = nothing). */
@@ -653,7 +680,17 @@ final class GraftMicroBatchStream(scan: GraftScan)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftBatchOffset].maxBatch
     val e = end.asInstanceOf[GraftBatchOffset].maxBatch
-    scan.planPartitionsFor(scan.streamVisible, b => b > s && b <= e)
+    val visible = scan.streamVisible
+    // a stream lagging behind a compact+vacuum must FAIL, not silently
+    // deliver zero rows: the batches it still owes were physically
+    // deleted (batch readers are unaffected — they serve the compaction)
+    val vacuumed = visible.filter(b => b > s && b <= e)
+      .filterNot(scan.chunkBatchDirExists)
+    require(vacuumed.isEmpty,
+      s"stream needs batches ${vacuumed.toSeq.sorted.mkString(",")} which were " +
+        "compacted away and vacuumed — restart the stream from a fresh checkpoint " +
+        "(or batch-read the compacted table) instead of losing rows silently")
+    scan.planPartitionsFor(visible, b => b > s && b <= e)
   }
   override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
   override def commit(offset: Offset): Unit = () // batches are immutable once committed

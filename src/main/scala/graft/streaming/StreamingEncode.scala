@@ -62,6 +62,18 @@ object StreamingEncode {
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing = if (fs.exists(manifestPath)) Some(spark.read.parquet(manifestPath.toString)) else None
 
+    // the sink's batch ids ARE the stream's epoch ids; a compaction
+    // allocates from the same integer space, so a sink resumed onto a
+    // compacted dir would (a) mistake the compaction's manifest rows for
+    // its own replay and silently DROP micro-batches, then (b) overwrite
+    // the compaction batch dir when its epoch reaches that id. Fail loud:
+    // compacting a streaming-sink dir requires retiring this sink (start
+    // a fresh checkpoint writing to a fresh dir, or batch-append instead)
+    require(EncodeJob.compactions(spark, outDir).isEmpty,
+      s"$outDir has been compacted — a StreamingEncode sink cannot resume onto it " +
+        "(epoch-derived batch ids would collide with the compaction batch); " +
+        "write to a fresh dir or append in batch mode")
+
     // sink-side idempotence: a replayed batch is already committed — skip
     val alreadyCommitted = existing.exists(
       _.filter(col("batch_id") === batchId.toInt).limit(1).count() > 0)

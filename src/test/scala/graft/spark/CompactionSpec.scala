@@ -140,6 +140,44 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").load(o).count() == 600L)
   }
 
+  test("vacuum reclaims crashed-write orphan batch dirs") {
+    val o = s"$tmp/orphan"
+    frame(0, 300).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    // a crashed write: chunks on disk, no manifest rows, no record
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$o/chunks/batch=0"), new java.io.File(s"$o/chunks/batch=77"))
+    assert(EncodeJob.vacuum(spark, o).contains(77))
+    assert(!new java.io.File(s"$o/chunks/batch=77").exists())
+    assert(spark.read.format("graft").load(o).count() == 300L) // committed data untouched
+  }
+
+  test("a stream lagging behind compact+vacuum fails loudly instead of losing rows") {
+    val o = s"$tmp/stream-vacuum"
+    frame(0, 200).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    frame(200, 400).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+    EncodeJob.compact(spark, o, targetPartitions = 1)
+    EncodeJob.vacuum(spark, o)
+    assert(spark.read.format("graft").load(o).count() == 400L) // batch reads fine
+    val q = spark.readStream.format("graft").load(o)
+      .writeStream.format("memory").queryName("vacuumed_stream").outputMode("append").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(10000)
+      }
+      assert(e.getMessage != null && e.toString.contains("vacuum"), e.toString)
+    } finally q.stop()
+  }
+
+  test("a compacted dir refuses a resumed StreamingEncode sink (epoch id collision)") {
+    val o = s"$tmp/sink-guard"
+    frame(0, 100).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    EncodeJob.compact(spark, o, targetPartitions = 1)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingEncode.encodeBatch(frame(100, 200), 1L, o, 2, None)
+    }
+    assert(e.getMessage.contains("compacted"), e.getMessage)
+  }
+
   test("streams never double-read across a compaction") {
     val o = s"$tmp/stream"
     frame(0, 200).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)

@@ -70,6 +70,13 @@ class SortedWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // the claim reaches Catalyst as a scan output ordering
     assert(scanOrdering(src.select("id", "s")).nonEmpty, "ordering not reported")
+    // a two-column claim degrades to its in-schema PREFIX, never to a lie
+    val twoOut = s"$tmp/two-col"
+    df.withColumn("k", col("id") % 10).write.format("graft").mode("overwrite")
+      .option("numPartitions", "2").option("sortColumns", "id,k").save(twoOut)
+    val two = spark.read.format("graft").load(twoOut)
+    assert(scanOrdering(two.select("id", "s")).size == 1, "prefix [id] should survive")
+    assert(scanOrdering(two.select("k", "s")).isEmpty, "non-prefix column must not be claimed")
     // ...but never for columns outside the read schema or on time travel
     assert(scanOrdering(spark.read.format("graft").load(sortedOut).select("s")).isEmpty)
     assert(scanOrdering(spark.read.format("graft").option("asOfBatch", "0")
