@@ -664,6 +664,30 @@ object SparkEntry {
         s"q_sorted_scan: clustered pruning ineffective ($pruned of $full bytes)")
       res
     }),
+    // Z-order clustering: one per-partition sort by the Morton key makes
+    // chunk ranges selective on BOTH clustered columns — hard-gated on
+    // the NON-leading dimension (l_suppkey), exactly the predicate a
+    // lexicographic sort by l_partkey could never prune
+    "q_zorder_scan" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+      val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      li.write.format("graft").mode("overwrite").option("numPartitions", "4")
+        .option("chunkTargetBytes", "16384").option("zorderColumns", "l_partkey,l_suppkey")
+        .save(out)
+      val src = s.read.format("graft").load(out)
+      // gate on the filtered scan alone (orderBy's range sampler would
+      // double-count the read)
+      graft.core.BlockCompression.resetCounters()
+      val n = src.filter(col("l_suppkey") === 17L).collect().length
+      val pruned = graft.core.BlockCompression.decompressInputBytes
+      graft.core.BlockCompression.resetCounters()
+      src.collect()
+      val full = graft.core.BlockCompression.decompressInputBytes
+      require(n == 0 || pruned * 2 < full,
+        s"q_zorder_scan: second-dimension pruning ineffective ($pruned of $full bytes)")
+      src.filter(col("l_suppkey") === 17L)
+        .orderBy("l_partkey", "l_suppkey", "l_quantity")
+    }),
     "q_encode_metrics" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val codecs = EncodeJob.pinStringCodecs(docs, 5000)
@@ -761,6 +785,9 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey BETWEEN 100 AND 200
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        |WHERE l_suppkey = 17 ORDER BY l_partkey, l_suppkey, l_quantity""".stripMargin,
     "q_source_agg" ->
       """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         | count(l_orderkey) AS n_rows,

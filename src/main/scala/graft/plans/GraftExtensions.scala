@@ -50,6 +50,8 @@ object GraftExtensions {
     "ngram_jaccard" -> { args: Seq[Expression] =>
       NgramJaccard(args(0), args(1),
         if (args.length > 2) intLit(args, 2, "k") else 3) },
+    "zorder_key" -> { args: Seq[Expression] =>
+      ZOrderKey(args, ZOrderKey.fullRange(args.size)) },
   )
 
   private def intLit(args: Seq[Expression], i: Int, name: String): Int = args(i) match {

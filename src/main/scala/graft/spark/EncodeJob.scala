@@ -63,6 +63,13 @@ object EncodeJob {
       // reports the resulting per-partition order to Catalyst via
       // SupportsReportOrdering when every visible batch holds the claim
       sortColumns: Seq[String] = Nil,
+      // Z-order (Morton) clustering over 2-6 columns: rows sort within
+      // each partition by an interleaved-bits key, so chunk min/max
+      // ranges become selective for predicates on ANY of the columns
+      // (a lexicographic sortColumns only serves its leading column).
+      // Clustering only — no ordering claim is ever advertised for it.
+      // Mutually exclusive with sortColumns.
+      zorderColumns: Seq[String] = Nil,
       // the reference's EncodingStrategy knob (WriterConfiguration.cs:49):
       // aligned=true restricts RLEv2 DIRECT/PATCHED widths to the
       // CPU-friendly table (Speed), trading a little size for decode speed
@@ -520,12 +527,44 @@ object EncodeJob {
     * frequencies are used, so the sample scale cancels out.
     */
   def partitionWithSalt(df: DataFrame, cfg: Config): DataFrame = {
+    require(cfg.sortColumns.isEmpty || cfg.zorderColumns.isEmpty,
+      "sortColumns and zorderColumns are mutually exclusive")
     val partitioned = partitionUnsorted(df, cfg)
-    if (cfg.sortColumns.isEmpty) partitioned
-    // per-partition sort only — no range exchange, the partitioning
+    // per-partition sorts only — no range exchange, the partitioning
     // (hash/salt) above is untouched; asc_nulls_first matches the
     // SortDirection.ASCENDING default the scan reports back
-    else partitioned.sortWithinPartitions(cfg.sortColumns.map(col): _*)
+    if (cfg.sortColumns.nonEmpty)
+      partitioned.sortWithinPartitions(cfg.sortColumns.map(col): _*)
+    else if (cfg.zorderColumns.nonEmpty)
+      partitioned.sortWithinPartitions(
+        graft.plans.ZOrderKey.withBounds(
+          zorderBounds(df, cfg), cfg.zorderColumns.map(col): _*))
+    else partitioned
+  }
+
+  /** Per-column [lo, hi] key-bit bounds for the Z-order rescale, from a
+    * narrow sampled min/max scan over just the z columns (same pattern
+    * as the skew histogram — relative position is all that matters, so a
+    * small sample is plenty; tiny inputs fall back to an exact scan).
+    * Rows outside the sampled bounds clamp to the curve's ends:
+    * clustering degrades at the tails, correctness never depends on it.
+    */
+  private def zorderBounds(df: DataFrame, cfg: Config): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val zcols = cfg.zorderColumns
+    val aggs = zcols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    def minMaxOf(src: DataFrame) =
+      src.select(zcols.map(col): _*).agg(aggs.head, aggs.tail: _*).collect()(0)
+    var row = minMaxOf(df.sample(withReplacement = false,
+      math.min(1.0, cfg.saltSampleFraction * 10), seed = 42))
+    if ((0 until zcols.size * 2).exists(row.isNullAt)) row = minMaxOf(df)
+    zcols.zipWithIndex.map { case (c, i) =>
+      val dt = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"zorderColumns: no column $c")).dataType
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) (0L, -1L) // all-null: identity
+      else (graft.plans.ZOrderKey.bitsOfExternal(row.get(2 * i), dt),
+        graft.plans.ZOrderKey.bitsOfExternal(row.get(2 * i + 1), dt))
+    }
   }
 
   private def partitionUnsorted(df: DataFrame, cfg: Config): DataFrame = cfg.keyColumn match {

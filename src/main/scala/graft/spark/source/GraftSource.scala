@@ -177,6 +177,8 @@ object GraftWriteSupport {
         .getOrElse(Set.empty),
       sortColumns = opt("sortColumns").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil),
+      zorderColumns = opt("zorderColumns").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil),
       partitionByColumn = opt("partitionByColumn").exists(_.toBoolean))
   }
 
