@@ -348,6 +348,32 @@ object Bench {
         (bigEncSec(math.max(1, cpus / 4)) / bigEncSec(cpus)) / (cpus.toDouble / math.max(1, cpus / 4))
       else 1.0
 
+    // decode side of the same size-amortization point: the 200k decode
+    // pair is fixed-cost-bound (eff 0.27-0.33 at N/4→N), so the claim
+    // that efficiency improves with input size needs a tracked decode
+    // number at 1M rows too — same interleaved min-per-level + inversion
+    // guard as every other decode measurement
+    val bigDecLevels = Seq(cpus, math.max(1, cpus / 4)).distinct
+    val (bigDecBest, _) = {
+      val tmpOut = java.nio.file.Files.createTempDirectory("graft-bench-1m").toString
+      var schema: org.apache.spark.sql.types.StructType = null
+      locally {
+        val s = session(cpus)
+        try {
+          val pages = WebGen.pages(s, bigRows, seed = 42, partitions = cpus * 3).toDF()
+          schema = pages.schema
+          EncodeJob.run(pages, EncodeJob.Config(tmpOut, cpus * 3, Some("lang")))
+        } finally s.stop()
+      }
+      decodeBenchInterleaved(tmpOut, schema, bigDecLevels, rounds = 2)
+    }
+    val bigDecSec = bigDecBest(cpus)._1
+    val bigDecSecQ = bigDecBest(math.max(1, cpus / 4))._1
+    val bigDecEff =
+      if (cpus > cpus / 4 && cpus / 4 >= 1)
+        (bigDecSecQ / math.max(0.001, bigDecSec)) / (cpus.toDouble / math.max(1, cpus / 4))
+      else 1.0
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val perLevel = levels.map { l =>
@@ -377,7 +403,10 @@ object Bench {
         f""""rows_1m":$bigRows%d,"raw_gb_1m":${bigRawBytes / 1e9}%.3f,""" +
         f""""encode_gbps${cpus}%d_1m":${bigRawBytes / 1e9 / bigEncSec(cpus)}%.3f,""" +
         f""""encode_gbps${math.max(1, cpus / 4)}%d_1m":${bigRawBytes / 1e9 / bigEncSec(math.max(1, cpus / 4))}%.3f,""" +
-        f""""scaling_${math.max(1, cpus / 4)}%d_${cpus}%d_1m":$bigEff%.3f}"""
+        f""""scaling_${math.max(1, cpus / 4)}%d_${cpus}%d_1m":$bigEff%.3f,""" +
+        f""""decode_gbps${cpus}%d_1m":${bigRawBytes / 1e9 / math.max(0.001, bigDecSec)}%.3f,""" +
+        f""""decode_gbps${math.max(1, cpus / 4)}%d_1m":${bigRawBytes / 1e9 / math.max(0.001, bigDecSecQ)}%.3f,""" +
+        f""""decode_scaling_${math.max(1, cpus / 4)}%d_${cpus}%d_1m":$bigDecEff%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":$encodeJson}""")
   }

@@ -402,7 +402,10 @@ object EncodeJob {
               compression: Option[String] = None,
               // rewrite-with-sort: Nil inherits the dir's existing sort
               // claim (a sorted dir stays sorted through compaction)
-              sortColumns: Seq[String] = Nil): Int = {
+              sortColumns: Seq[String] = Nil,
+              // rewrite-with-zorder (OPTIMIZE ZORDER): mutually exclusive
+              // with sortColumns; never inherited (z leaves no claim)
+              zorderColumns: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.max
     val visible = committedBatches(spark, outDir)
     require(visible.nonEmpty, s"nothing to compact under $outDir")
@@ -425,11 +428,13 @@ object EncodeJob {
     val bloomCols = chunkMeta.filter(col("bloom").isNotNull)
       .select("column").distinct().collect().map(_.getString(0)).toSet
     val effectiveSort =
-      if (sortColumns.nonEmpty) sortColumns else sortColumnsFromDisk(spark, outDir)
+      if (zorderColumns.nonEmpty) Nil
+      else if (sortColumns.nonEmpty) sortColumns
+      else sortColumnsFromDisk(spark, outDir)
     val cfg = Config(outDir, numPartitions = targetPartitions, keyColumn = keyColumn,
       compression = inheritedCompression, segmented = segmented,
       bloomColumns = bloomCols, partitionByColumn = isColumnPartitioned(spark, outDir),
-      sortColumns = effectiveSort)
+      sortColumns = effectiveSort, zorderColumns = zorderColumns)
 
     val (newBatch, partOffset) = nextBatchAndPart(spark, outDir)
     val df = decodeBatches(spark, outDir, toCompact, schema)
