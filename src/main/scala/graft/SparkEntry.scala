@@ -664,6 +664,22 @@ object SparkEntry {
         s"q_sorted_scan: clustered pruning ineffective ($pruned of $full bytes)")
       res
     }),
+    // the SQL catalog surface end-to-end: CREATE TABLE ... USING graft,
+    // INSERT INTO (full encode pipeline), catalog-qualified SELECT — the
+    // oracle proves the round trip through DDL+DML loses nothing
+    "q_catalog" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+      s.conf.set("spark.sql.catalog.gtmp", "graft.spark.source.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gtmp.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gtmp.db")
+      s.sql("DROP TABLE IF EXISTS gtmp.db.docs")
+      s.sql("""CREATE TABLE gtmp.db.docs (doc_id BIGINT, lang STRING, text STRING)
+              |USING graft TBLPROPERTIES ('numPartitions' = '4')""".stripMargin)
+      read(s, dir, "documents").select("doc_id", "lang", "text")
+        .createOrReplaceTempView("q_catalog_src")
+      s.sql("INSERT INTO gtmp.db.docs SELECT doc_id, lang, text FROM q_catalog_src")
+      s.sql("SELECT doc_id, lang, text FROM gtmp.db.docs ORDER BY doc_id")
+    }),
     // Z-order clustering: one per-partition sort by the Morton key makes
     // chunk ranges selective on BOTH clustered columns — hard-gated on
     // the NON-leading dimension (l_suppkey), exactly the predicate a
@@ -788,6 +804,7 @@ object SparkEntry {
     "q_zorder_scan" ->
       """SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
         |WHERE l_suppkey = 17 ORDER BY l_partkey, l_suppkey, l_quantity""".stripMargin,
+    "q_catalog" -> "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
     "q_source_agg" ->
       """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         | count(l_orderkey) AS n_rows,

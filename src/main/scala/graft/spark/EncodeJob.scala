@@ -115,7 +115,7 @@ object EncodeJob {
     * Idempotent overwrite; written before the manifest commit so any
     * committed batch always has a readable schema.
     */
-  private def writeSchemaJson(spark: SparkSession, outDir: String,
+  private[spark] def writeSchemaJson(spark: SparkSession, outDir: String,
                               schema: org.apache.spark.sql.types.StructType): Unit = {
     val path = new org.apache.hadoop.fs.Path(schemaPath(outDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -763,9 +763,13 @@ object EncodeJob {
   def specsFromManifest(spark: SparkSession, outDir: String,
                         schema: org.apache.spark.sql.types.StructType): Array[ColumnSpec] = {
     import spark.implicits._
-    val codecs = spark.read.parquet(manifestDir(outDir))
-      .select("codecs").limit(1).as[String].collect().headOption
-      .map(parseLineage).getOrElse(Map.empty)
+    val path = new org.apache.hadoop.fs.Path(manifestDir(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codecs =
+      if (!fs.exists(path)) Map.empty[String, String] // schema-only table: no writes yet
+      else spark.read.parquet(manifestDir(outDir))
+        .select("codecs").limit(1).as[String].collect().headOption
+        .map(parseLineage).getOrElse(Map.empty)
     TableEncoder.columnSpecs(schema, codecs)
   }
 

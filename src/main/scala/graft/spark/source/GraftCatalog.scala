@@ -1,0 +1,191 @@
+package graft.spark.source
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.spark.EncodeJob
+
+/** DataSource V2 TableCatalog over a warehouse directory — the full SQL
+  * surface for graft tables:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.spark.source.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  *
+  *   CREATE NAMESPACE graft.web;
+  *   CREATE TABLE graft.web.pages (url STRING, text STRING) USING graft
+  *     TBLPROPERTIES ('compression' = 'zstd', 'sortColumns' = 'url');
+  *   INSERT INTO graft.web.pages SELECT ...;      -- full encode pipeline
+  *   SELECT * FROM graft.web.pages WHERE url = '...';  -- pruned scan
+  *   CREATE TABLE graft.web.copy USING graft AS SELECT * FROM graft.web.pages;
+  *   DROP TABLE graft.web.pages;
+  * }}}
+  *
+  * A table IS an encode output directory (`warehouse/<ns...>/<name>`):
+  * everything the path-based `format("graft")` surface provides —
+  * pushdowns, time travel, streaming, compaction — applies unchanged,
+  * and a directory written by `EncodeJob`/`df.write` can be adopted by
+  * the catalog as-is (the persisted schema.json is the table's
+  * existence marker). Create-time TBLPROPERTIES are persisted next to
+  * it (`catalog.json`) and become default write options for every
+  * INSERT, so the layout choices live with the table, not the
+  * statement.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+  private def dirOf(ns: Array[String]): String = (warehouse +: ns.toSeq).mkString("/")
+
+  private def propsPath(dir: String) = new Path(s"$dir/catalog.json")
+
+  // ---------- tables ----------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = new Path(dirOf(namespace))
+    val f = fs(root)
+    if (!f.exists(root)) throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    f.listStatus(root).filter(_.isDirectory)
+      .filter(st => f.exists(new Path(st.getPath, "schema.json")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs(new Path(dirOf(ident))).exists(new Path(EncodeJob.schemaPath(dirOf(ident))))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    val schema = EncodeJob.schemaFromDisk(spark, dir).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    new GraftTable(dir, schema, new CaseInsensitiveStringMap(
+      new java.util.HashMap(readProps(dir))), tableProps = readProps(dir))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables do not take PARTITIONED BY — use TBLPROPERTIES " +
+        "('keyColumn'/'sortColumns'/'zorderColumns'/'partitionByColumn') " +
+        "for clustering and layout")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val dir = dirOf(ident)
+    EncodeJob.writeSchemaJson(spark, dir, schema)
+    // persist create-time layout/codec properties as the table's default
+    // write options (drop Spark's bookkeeping props)
+    val keep = new java.util.HashMap[String, String]()
+    properties.forEach { (k, v) =>
+      if (!k.startsWith("option.") && k != "provider" && k != "owner" &&
+          k != "location" && !k.startsWith("spark.sql.")) keep.put(k, v)
+    }
+    if (!keep.isEmpty) writeProps(dir, keep)
+    new GraftTable(dir, schema, new CaseInsensitiveStringMap(keep),
+      tableProps = readProps(dir))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported for graft tables (schema travels with the data)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new Path(dirOf(ident))
+    tableExists(ident) && fs(dir).delete(dir, /* recursive */ true)
+  }
+
+  override def renameTable(old: Identifier, to: Identifier): Unit = {
+    if (!tableExists(old))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(old)
+    if (tableExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(to)
+    val f = fs(new Path(dirOf(old)))
+    require(f.rename(new Path(dirOf(old)), new Path(dirOf(to))),
+      s"rename ${old} -> ${to} failed")
+  }
+
+  // ---------- table properties sidecar ----------
+
+  private def readProps(dir: String): java.util.HashMap[String, String] = {
+    val out = new java.util.HashMap[String, String]()
+    val p = propsPath(dir)
+    val f = fs(p)
+    if (!f.exists(p)) return out
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(text)
+      .foreach(m => out.put(m.group(1), m.group(2)))
+    out
+  }
+
+  private def writeProps(dir: String, props: java.util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val safe = props.asScala.toSeq.sortBy(_._1).map { case (k, v) =>
+      require(!k.contains("\"") && !v.contains("\""),
+        s"graft table property $k: quotes not supported")
+      s""""$k":"$v""""
+    }
+    val p = propsPath(dir)
+    val os = fs(p).create(p, /* overwrite */ true)
+    try os.write(safe.mkString("{", ",", "}").getBytes("UTF-8")) finally os.close()
+  }
+
+  // ---------- namespaces ----------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) return Array.empty
+    f.listStatus(root).filter(_.isDirectory)
+      .filterNot(st => f.exists(new Path(st.getPath, "schema.json"))) // tables aren't namespaces
+      .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else Array.empty // one level of namespaces is plenty for a warehouse dir
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs(new Path(dirOf(namespace))).exists(new Path(dirOf(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    val p = new Path(dirOf(namespace))
+    fs(p).mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path(dirOf(namespace))
+    val f = fs(p)
+    if (!f.exists(p)) return false
+    if (!cascade && f.listStatus(p).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    f.delete(p, cascade)
+  }
+}

@@ -108,19 +108,29 @@ final class GraftSource extends TableProvider
 }
 
 final class GraftTable(outDir: String, logicalSchema: StructType,
-                       options: CaseInsensitiveStringMap)
+                       options: CaseInsensitiveStringMap,
+                       tableProps: java.util.Map[String, String] =
+                         java.util.Collections.emptyMap[String, String]())
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$outDir"
   override def schema(): StructType = logicalSchema
+  override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  /** Statement options override the table's persisted TBLPROPERTIES. */
+  private def merged(statement: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    if (tableProps.isEmpty) return statement
+    val m = new java.util.HashMap[String, String](tableProps)
+    statement.forEach((k, v) => m.put(k, v))
+    new CaseInsensitiveStringMap(m)
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(outDir, logicalSchema,
       // time travel: read the batch set as of a committed batch id
-      asOfBatch = Option(options.get("asOfBatch")).map(_.toInt))
+      asOfBatch = Option(merged(options).get("asOfBatch")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(outDir, info.options())
+    new GraftWriteBuilder(outDir, merged(info.options()))
 }
 
 /** `df.write.format("graft")` — Append/Overwrite as a V1Write fallback
@@ -415,11 +425,13 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
   override def estimateStatistics(): Statistics = {
     import org.apache.spark.sql.functions.{col, sum}
     val committed = visibleBatches
-    val perBatch = spark.read.parquet(EncodeJob.manifestDir(outDir))
-      .filter(col("batch_id").isin(committed.toSeq: _*))
-      .groupBy(col("batch_id"))
-      .agg(sum("row_count").as("r"), sum("raw_bytes").as("b")).collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perBatch =
+      if (committed.isEmpty) Map.empty[Int, (Long, Long)] // schema-only table
+      else spark.read.parquet(EncodeJob.manifestDir(outDir))
+        .filter(col("batch_id").isin(committed.toSeq: _*))
+        .groupBy(col("batch_id"))
+        .agg(sum("row_count").as("r"), sum("raw_bytes").as("b")).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     // a compaction batch is visible the instant its record lands, which
     // can be BEFORE its manifest metrics rows — fall back to the record's
     // own totals so the table never looks empty to the broadcast planner
@@ -559,17 +571,21 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
     val dir = new Path(EncodeJob.chunkDir(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(dir), s"no chunk dir under $outDir")
     val files = scala.collection.mutable.ArrayBuffer[(Int, Option[String], String)]()
-    val it = fs.listFiles(dir, /* recursive */ true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath.toString
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val batch = """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
-        val column = """column=([^/]+)/""".r.findFirstMatchIn(p).map(_.group(1))
-        batch.filter(b => committed.contains(b) && batchKeep(b))
-          .foreach(b => files += ((b, column, p)))
+    // a schema-only table (CREATE TABLE, nothing inserted yet) has no
+    // chunk dir: zero partitions for a row scan; aggregate mode falls
+    // through to its identity partial (count 0)
+    if (fs.exists(dir)) {
+      val it = fs.listFiles(dir, /* recursive */ true)
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath.toString
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val batch = """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
+          val column = """column=([^/]+)/""".r.findFirstMatchIn(p).map(_.group(1))
+          batch.filter(b => committed.contains(b) && batchKeep(b))
+            .foreach(b => files += ((b, column, p)))
+        }
       }
     }
     val keep = if (aggSlots.isDefined) Map.empty[String, Boolean]

@@ -1,0 +1,105 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Full SQL surface over the DSv2 TableCatalog: DDL (CREATE/DROP/RENAME
+  * namespace + table), DML (INSERT INTO/OVERWRITE, CTAS), catalog-
+  * qualified reads with the same pushdowns as the path surface, and
+  * TBLPROPERTIES persisted as the table's default write options.
+  */
+class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val wh = Files.createTempDirectory("graft-warehouse").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-catalog-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.catalog.graft", "graft.spark.source.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("DDL + DML + reads end-to-end through SQL") {
+    spark.sql("CREATE NAMESPACE graft.web")
+    spark.sql(
+      """CREATE TABLE graft.web.pages (id BIGINT, lang STRING, body STRING)
+        |USING graft TBLPROPERTIES ('compression' = 'zstd', 'numPartitions' = '2')""".stripMargin)
+
+    // schema-only table: readable (0 rows) and visible in SHOW TABLES
+    assert(spark.sql("SELECT * FROM graft.web.pages").count() == 0)
+    assert(spark.sql("SELECT count(*) FROM graft.web.pages").first().getLong(0) == 0)
+    assert(spark.sql("SHOW TABLES IN graft.web").collect().map(_.getString(1)).contains("pages"))
+
+    spark.sql(
+      """INSERT INTO graft.web.pages
+        |SELECT id, CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END, concat('body-', id)
+        |FROM range(3000)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.web.pages").first().getLong(0) == 3000)
+    // TBLPROPERTIES reached the encoder
+    val kinds = spark.read.parquet(s"$wh/web/pages/chunks").select("compression")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("zstd"), kinds.toString)
+
+    // second INSERT appends (a new committed batch)
+    spark.sql("INSERT INTO graft.web.pages SELECT id, 'fr', concat('b', id) FROM range(3000, 3500)")
+    assert(spark.sql("SELECT count(*) FROM graft.web.pages").first().getLong(0) == 3500)
+    assert(EncodeJob.committedBatches(spark, s"$wh/web/pages").size == 2)
+
+    // filters push through the catalog read exactly like the path read
+    val en = spark.sql("SELECT id FROM graft.web.pages WHERE lang = 'en' ORDER BY id")
+    assert(en.count() == 1000)
+    assert(en.first().getLong(0) == 0)
+
+    // INSERT OVERWRITE truncates then writes
+    spark.sql("INSERT OVERWRITE graft.web.pages SELECT id, 'nl', 'x' FROM range(42)")
+    assert(spark.sql("SELECT count(*) FROM graft.web.pages").first().getLong(0) == 42)
+
+    // CTAS
+    spark.sql(
+      """CREATE TABLE graft.web.copy USING graft
+        |AS SELECT * FROM graft.web.pages WHERE id < 10""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.web.copy").first().getLong(0) == 10)
+
+    // RENAME + DROP
+    spark.sql("ALTER TABLE graft.web.copy RENAME TO web.copy2")
+    assert(spark.sql("SELECT count(*) FROM graft.web.copy2").first().getLong(0) == 10)
+    spark.sql("DROP TABLE graft.web.copy2")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.web.copy2").collect() }
+  }
+
+  test("catalog adopts a dir written by the path surface; table services work via SQL names") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.adopt")
+    val dir = s"$wh/adopt/ext"
+    spark.range(500).select(col("id"), concat(lit("v"), col("id")).as("s"))
+      .write.format("graft").mode("overwrite").option("numPartitions", "2").save(dir)
+    // no CREATE TABLE needed: schema.json IS the existence marker
+    assert(spark.sql("SELECT count(*) FROM graft.adopt.ext").first().getLong(0) == 500)
+    // compact + time travel against the same dir, then read through SQL
+    spark.range(500, 600).select(col("id"), concat(lit("v"), col("id")).as("s"))
+      .write.format("graft").mode("append").option("numPartitions", "2").save(dir)
+    EncodeJob.compact(spark, dir, targetPartitions = 1)
+    assert(spark.sql("SELECT count(*) FROM graft.adopt.ext").first().getLong(0) == 600)
+  }
+
+  test("aggregate pushdown works through the catalog (metadata-only)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
+    spark.sql("CREATE TABLE graft.agg.t (k BIGINT, v DOUBLE) USING graft TBLPROPERTIES ('numPartitions'='2')")
+    spark.sql("INSERT INTO graft.agg.t SELECT id, id * 0.5 FROM range(1000)")
+    graft.core.BlockCompression.resetCounters()
+    val r = spark.sql("SELECT min(k), max(k), count(k), max(v) FROM graft.agg.t").first()
+    assert(graft.core.BlockCompression.decompressInputBytes == 0,
+      "aggregate pushdown disengaged through the catalog")
+    assert(r.getLong(0) == 0 && r.getLong(1) == 999 && r.getLong(2) == 1000 && r.getDouble(3) == 499.5)
+  }
+}
