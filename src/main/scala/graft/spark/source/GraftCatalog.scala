@@ -75,8 +75,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirOf(ident)
     val schema = EncodeJob.schemaFromDisk(spark, dir).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
-    new GraftTable(dir, schema, new CaseInsensitiveStringMap(
-      new java.util.HashMap(readProps(dir))), tableProps = readProps(dir))
+    val props = readProps(dir)
+    new GraftTable(dir, schema, new CaseInsensitiveStringMap(props), tableProps = props)
+  }
+
+  /** SQL time travel: `SELECT ... FROM graft.db.t VERSION AS OF <batch>`
+    * — a version IS a committed batch id (monotone across every write
+    * path), resolved through the same asOfBatch machinery as the
+    * path-surface read option.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val schema = EncodeJob.schemaFromDisk(spark, dir).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    require(version.matches("\\d+"),
+      s"graft versions are committed batch ids (got '$version')")
+    val props = readProps(dir)
+    val merged = new java.util.HashMap[String, String](props)
+    merged.put("asOfBatch", version)
+    new GraftTable(dir, schema, new CaseInsensitiveStringMap(merged), tableProps = merged)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -90,6 +90,11 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.format("graft").mode("append").option("numPartitions", "2").save(dir)
     EncodeJob.compact(spark, dir, targetPartitions = 1)
     assert(spark.sql("SELECT count(*) FROM graft.adopt.ext").first().getLong(0) == 600)
+    // SQL time travel: VERSION AS OF <batch id>
+    assert(spark.sql("SELECT count(*) FROM graft.adopt.ext VERSION AS OF 0")
+      .first().getLong(0) == 500)
+    assert(spark.sql("SELECT count(*) FROM graft.adopt.ext VERSION AS OF 1")
+      .first().getLong(0) == 600)
   }
 
   test("aggregate pushdown works through the catalog (metadata-only)") {
