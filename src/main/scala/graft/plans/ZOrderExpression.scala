@@ -30,6 +30,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * at the tails, correctness never depends on it (pruning always uses
   * the real chunk statistics).
   *
+  * Granularity caveat: long/int/date/timestamp/decimal dimensions
+  * rescale LINEARLY and cluster at full bit resolution. Double/float
+  * dimensions live in IEEE bit space, which is log-scaled — linear
+  * values collapse into exponent-band slivers, so a zero-spanning double
+  * clusters at roughly sign + exponent granularity (rank/histogram
+  * z-values would fix this at the cost of a second pass). Prefer integer
+  * or fixed-point dimensions when the column is a candidate key.
+  *
   * Null sorts first (key bits 0). The key is for CLUSTERING only: it is
   * not a lexicographic order of the inputs, so the writer never
   * advertises it through the sort claim / SupportsReportOrdering.
@@ -164,16 +172,21 @@ object ZOrderKey {
     case _ => bitsOf(v, dt) // primitives box identically
   }
 
-  /** IEEE total-order bits (NaN above +Inf), shifted to unsigned space. */
+  /** IEEE total-order bits (NaN above +Inf). The flip-sign-bit-or-all
+    * transform is UNSIGNED-comparable as it stands: -inf..-0 map to
+    * 0x0000..7FFF and +0..+inf/NaN to 0x8000..FFFF (an extra ^MIN here
+    * would put negatives above positives — caught in review, exercised
+    * by the negative-range spec case).
+    */
   def bitsDouble(d: Double): Long = {
     val b = java.lang.Double.doubleToLongBits(d)
-    (b ^ ((b >> 63) | Long.MinValue)) ^ Long.MinValue
+    b ^ ((b >> 63) | Long.MinValue)
   }
 
   def bitsFloat(f: Float): Long = {
     val b = java.lang.Float.floatToIntBits(f)
-    val s = (b ^ ((b >> 31) | Int.MinValue)).toLong ^ Int.MinValue.toLong // unsigned int order
-    s << 32 // widen to the key's top bits
+    val s = b ^ ((b >> 31) | Int.MinValue) // unsigned-int-comparable
+    (s.toLong & 0xffffffffL) << 32 // zero-extend, widen to the key's top bits
   }
 
   /** First 8 UTF-8 bytes, big-endian, unsigned byte order. */

@@ -553,6 +553,10 @@ object EncodeJob {
     * small sample is plenty; tiny inputs fall back to an exact scan).
     * Rows outside the sampled bounds clamp to the curve's ends:
     * clustering degrades at the tails, correctness never depends on it.
+    * Cost note: on compact's decoded input this sampling pass re-runs
+    * the upstream decode once — deriving bounds from the chunk manifest's
+    * min/max stats instead would make it metadata-only; acceptable today
+    * because compaction is already a full rewrite.
     */
   private def zorderBounds(df: DataFrame, cfg: Config): Seq[(Long, Long)] = {
     import org.apache.spark.sql.functions.{max, min}

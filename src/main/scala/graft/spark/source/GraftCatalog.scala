@@ -105,16 +105,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "for clustering and layout")
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ident.namespace())
     val dir = dirOf(ident)
-    EncodeJob.writeSchemaJson(spark, dir, schema)
-    // persist create-time layout/codec properties as the table's default
-    // write options (drop Spark's bookkeeping props)
+    // validate + persist properties BEFORE schema.json: schema.json is
+    // the existence marker, so a property rejection must not leave a
+    // half-created table behind. Drop Spark's bookkeeping props.
     val keep = new java.util.HashMap[String, String]()
     properties.forEach { (k, v) =>
       if (!k.startsWith("option.") && k != "provider" && k != "owner" &&
           k != "location" && !k.startsWith("spark.sql.")) keep.put(k, v)
     }
     if (!keep.isEmpty) writeProps(dir, keep)
+    EncodeJob.writeSchemaJson(spark, dir, schema)
     new GraftTable(dir, schema, new CaseInsensitiveStringMap(keep),
       tableProps = readProps(dir))
   }
@@ -179,8 +182,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespace.isEmpty) listNamespaces()
     else Array.empty // one level of namespaces is plenty for a warehouse dir
 
-  override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || fs(new Path(dirOf(namespace))).exists(new Path(dirOf(namespace)))
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    if (namespace.isEmpty) return true
+    val p = new Path(dirOf(namespace))
+    val f = fs(p)
+    // a TABLE dir is not a namespace — otherwise tables could nest
+    // inside tables, unreachable via SHOW and deleted by the outer DROP
+    f.exists(p) && !f.exists(new Path(p, "schema.json"))
+  }
 
   override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
     if (!namespaceExists(namespace))
@@ -191,6 +200,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createNamespace(namespace: Array[String],
                                metadata: java.util.Map[String, String]): Unit = {
     val p = new Path(dirOf(namespace))
+    require(!fs(p).exists(new Path(p, "schema.json")),
+      s"${namespace.mkString(".")} is a table, not a namespace")
     fs(p).mkdirs(p)
   }
 

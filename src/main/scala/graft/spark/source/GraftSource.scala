@@ -118,11 +118,17 @@ final class GraftTable(outDir: String, logicalSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-  /** Statement options override the table's persisted TBLPROPERTIES. */
+  /** Statement options override the table's persisted TBLPROPERTIES.
+    * Table keys are lower-cased first: statement options iterate
+    * lower-cased, and a camelCase table key alongside its lower-cased
+    * statement override would otherwise collide arbitrarily inside
+    * CaseInsensitiveStringMap.
+    */
   private def merged(statement: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
     if (tableProps.isEmpty) return statement
-    val m = new java.util.HashMap[String, String](tableProps)
-    statement.forEach((k, v) => m.put(k, v))
+    val m = new java.util.HashMap[String, String]()
+    tableProps.forEach((k, v) => m.put(k.toLowerCase(java.util.Locale.ROOT), v))
+    statement.forEach((k, v) => m.put(k.toLowerCase(java.util.Locale.ROOT), v))
     new CaseInsensitiveStringMap(m)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -574,7 +580,12 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     val files = scala.collection.mutable.ArrayBuffer[(Int, Option[String], String)]()
     // a schema-only table (CREATE TABLE, nothing inserted yet) has no
     // chunk dir: zero partitions for a row scan; aggregate mode falls
-    // through to its identity partial (count 0)
+    // through to its identity partial (count 0). A dir with COMMITTED
+    // batches but no chunk dir is corruption — fail loudly, never
+    // silently serve an empty table
+    require(fs.exists(dir) || committed.isEmpty,
+      s"$outDir has committed batches ${committed.toSeq.sorted.mkString(",")} " +
+        "but no chunk dir — externally deleted?")
     if (fs.exists(dir)) {
       val it = fs.listFiles(dir, /* recursive */ true)
       while (it.hasNext) {

@@ -50,6 +50,52 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(smallSteps >= keyed.length * 7 / 8 - 8, s"$smallSteps of ${keyed.length}")
 
+    // unsigned key order must hold across SIGN for floats/doubles — the
+    // flip-sign-bit-or-all transform is already unsigned-comparable; an
+    // extra ^MIN (the original bug) put negatives above positives and
+    // degenerated any zero-spanning dimension to a 1-bit sign flag
+    val ds = Seq(Double.NegativeInfinity, -40.0, -1.0, -0.0, 0.0, 1.0, 40.0,
+      Double.PositiveInfinity, Double.NaN)
+    assert(ds.map(ZOrderKey.bitsDouble).sliding(2).forall {
+      case Seq(a, b) => java.lang.Long.compareUnsigned(a, b) < 0
+    }, "bitsDouble not unsigned-ordered across signs")
+    val fsq = Seq(Float.NegativeInfinity, -40.0f, -1.0f, -0.0f, 0.0f, 1.0f, 40.0f,
+      Float.PositiveInfinity, Float.NaN)
+    assert(fsq.map(ZOrderKey.bitsFloat).sliding(2).forall {
+      case Seq(a, b) => java.lang.Long.compareUnsigned(a, b) < 0
+    }, "bitsFloat not unsigned-ordered across signs")
+    // end-to-end on a zero-spanning double dimension: IEEE bit space is
+    // log-scaled, so linear doubles cluster coarsely (sign + exponent
+    // granularity) — but with the sign bug every value clamps to one of
+    // two points and the filter keeps ~everything. Gate at 3/4: the bug
+    // measures ~100%, the fix ~50% here
+    val signed = spark.range(24000).select(
+      ((col("id") * 2654435761L % 400) - 200).cast("double").as("d"),
+      (col("id") % 100).as("k"), concat(lit("p"), col("id")).as("s"))
+    val sOut = s"$tmp/signed"
+    signed.write.format("graft").mode("overwrite").option("numPartitions", "2")
+      .option("chunkTargetBytes", "8192").option("zorderColumns", "d,k").save(sOut)
+    graft.core.BlockCompression.resetCounters()
+    spark.read.format("graft").load(sOut).filter(col("d") === -150.0).collect()
+    val negBytes = graft.core.BlockCompression.decompressInputBytes
+    graft.core.BlockCompression.resetCounters()
+    spark.read.format("graft").load(sOut).collect()
+    val allBytes = graft.core.BlockCompression.decompressInputBytes
+    assert(negBytes * 4 < allBytes * 3, s"negative-range z pruning: $negBytes of $allBytes")
+    // the same zero-spanning range as a LONG dimension rescales linearly
+    // (no IEEE voids) and must prune hard
+    val lOut = s"$tmp/signed-long"
+    signed.select((col("d").cast("long")).as("d"), col("k"), col("s"))
+      .write.format("graft").mode("overwrite").option("numPartitions", "2")
+      .option("chunkTargetBytes", "8192").option("zorderColumns", "d,k").save(lOut)
+    graft.core.BlockCompression.resetCounters()
+    spark.read.format("graft").load(lOut).filter(col("d") === -150L).collect()
+    val negL = graft.core.BlockCompression.decompressInputBytes
+    graft.core.BlockCompression.resetCounters()
+    spark.read.format("graft").load(lOut).collect()
+    val allL = graft.core.BlockCompression.decompressInputBytes
+    assert(negL * 2 < allL, s"negative-range LONG z pruning: $negL of $allL")
+
     // SQL surface + mixed types + nulls evaluate without error and agree
     // between codegen and interpreted paths
     val df = spark.range(1000).select(col("id"),
