@@ -644,17 +644,19 @@ object SparkEntry {
     "q_sorted_scan" -> ((s, dir) => {
       val li = read(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
       val out = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+      // small chunks so the gate is meaningful at EVERY sf (65536 gave a
+      // single chunk per partition at sf0.001 — nothing to prune)
       li.write.format("graft").mode("overwrite").option("numPartitions", "4")
-        .option("chunkTargetBytes", "65536").option("sortColumns", "l_orderkey").save(out)
+        .option("chunkTargetBytes", "8192").option("sortColumns", "l_orderkey").save(out)
       val src = s.read.format("graft").load(out)
       val ordering = src.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.outputOrdering
       }.head
       require(ordering.nonEmpty, "q_sorted_scan: sort claim did not reach the scan plan")
-      val res = src.filter(col("l_orderkey").between(100L, 200L))
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      // gate on the filtered scan alone — the returned orderBy's range
+      // sampler would double-count the read
       graft.core.BlockCompression.resetCounters()
-      val n = res.collect().length
+      val n = src.filter(col("l_orderkey").between(100L, 200L)).collect().length
       val pruned = graft.core.BlockCompression.decompressInputBytes
       graft.core.BlockCompression.resetCounters()
       src.collect() // decode-all baseline on the same dir (count() would
@@ -662,7 +664,8 @@ object SparkEntry {
       val full = graft.core.BlockCompression.decompressInputBytes
       require(n == 0 || pruned * 2 < full,
         s"q_sorted_scan: clustered pruning ineffective ($pruned of $full bytes)")
-      res
+      src.filter(col("l_orderkey").between(100L, 200L))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
     // the SQL catalog surface end-to-end: CREATE TABLE ... USING graft,
     // INSERT INTO (full encode pipeline), catalog-qualified SELECT — the
@@ -688,7 +691,7 @@ object SparkEntry {
       val li = read(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
       val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
       li.write.format("graft").mode("overwrite").option("numPartitions", "4")
-        .option("chunkTargetBytes", "16384").option("zorderColumns", "l_partkey,l_suppkey")
+        .option("chunkTargetBytes", "8192").option("zorderColumns", "l_partkey,l_suppkey")
         .save(out)
       val src = s.read.format("graft").load(out)
       // gate on the filtered scan alone (orderBy's range sampler would
