@@ -119,8 +119,22 @@ object EncodeJob {
                               schema: org.apache.spark.sql.types.StructType): Unit = {
     val path = new org.apache.hadoop.fs.Path(schemaPath(outDir))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // nullability only ever WIDENS: a table created nullable (CREATE
+    // TABLE DDL) must stay nullable when the first INSERT happens to
+    // carry non-null expressions — otherwise later NULL inserts trip
+    // Spark's not-null assertion against the tightened schema
+    val effective = schemaFromDisk(spark, outDir) match {
+      case Some(existing)
+          if existing.fields.length == schema.fields.length &&
+            existing.fields.zip(schema.fields).forall { case (a, b) =>
+              a.name == b.name && a.dataType == b.dataType } =>
+        org.apache.spark.sql.types.StructType(
+          existing.fields.zip(schema.fields).map { case (a, b) =>
+            b.copy(nullable = a.nullable || b.nullable) })
+      case _ => schema
+    }
     val out = fs.create(path, /* overwrite = */ true)
-    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(effective.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -405,8 +419,39 @@ object EncodeJob {
               sortColumns: Seq[String] = Nil,
               // rewrite-with-zorder (OPTIMIZE ZORDER): mutually exclusive
               // with sortColumns; never inherited (z leaves no claim)
-              zorderColumns: Seq[String] = Nil): Int = {
-    import org.apache.spark.sql.functions.max
+              zorderColumns: Seq[String] = Nil): Int =
+    rewriteBatches(spark, outDir, targetPartitions, keyColumn, batches,
+      compression, sortColumns, zorderColumns, identity)
+
+  /** Row-level DELETE as a rewrite: every currently-visible batch is
+    * decoded, rows matching `condition` are dropped, and the remainder
+    * commits as one new batch whose compaction record atomically retires
+    * the old ones — the same crash-safety and time-travel story as
+    * compact (`asOfBatch` before the delete still sees the deleted rows
+    * until vacuum). A full rewrite by design: exact-predicate row
+    * deletes on an immutable columnar layout cost a rewrite somewhere,
+    * and doing it through the batch machinery buys atomicity for free.
+    * At 100 TB, delete in key-aligned waves (run compact on batch
+    * subsets first) rather than one table-wide pass. Returns the new
+    * batch id. Also the engine behind SQL `DELETE FROM` on catalog
+    * tables (GraftTable's SupportsDeleteV2).
+    */
+  def deleteWhere(spark: SparkSession, outDir: String, condition: Column,
+                  targetPartitions: Int): Int =
+    rewriteBatches(spark, outDir, targetPartitions, keyColumn = None, batches = None,
+      compression = None, sortColumns = Nil, zorderColumns = Nil,
+      // SQL DELETE semantics: drop rows where the condition is TRUE —
+      // rows where it evaluates NULL are KEPT (a bare !condition would
+      // filter them out)
+      transform = _.filter(!coalesce(condition, lit(false))))
+
+  private def rewriteBatches(spark: SparkSession, outDir: String, targetPartitions: Int,
+                             keyColumn: Option[String],
+                             batches: Option[Set[Int]],
+                             compression: Option[String],
+                             sortColumns: Seq[String],
+                             zorderColumns: Seq[String],
+                             transform: DataFrame => DataFrame): Int = {
     val visible = committedBatches(spark, outDir)
     require(visible.nonEmpty, s"nothing to compact under $outDir")
     val toCompact = batches.getOrElse(visible)
@@ -437,7 +482,7 @@ object EncodeJob {
       sortColumns = effectiveSort, zorderColumns = zorderColumns)
 
     val (newBatch, partOffset) = nextBatchAndPart(spark, outDir)
-    val df = decodeBatches(spark, outDir, toCompact, schema)
+    val df = transform(decodeBatches(spark, outDir, toCompact, schema))
     val manifest = Some(spark.read.parquet(manifestDir(outDir)))
     val (entries, _) = encodeOneBatch(df, cfg, newBatch, partOffset, manifest,
       schemaOverride = Some(schema))

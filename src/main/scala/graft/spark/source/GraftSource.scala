@@ -111,7 +111,34 @@ final class GraftTable(outDir: String, logicalSchema: StructType,
                        options: CaseInsensitiveStringMap,
                        tableProps: java.util.Map[String, String] =
                          java.util.Collections.emptyMap[String, String]())
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  /** SQL `DELETE FROM <table> WHERE ...` — accepted only when EVERY
+    * predicate round-trips losslessly to a Column (a dropped conjunct
+    * would BROADEN the condition and over-delete; refusal makes Spark
+    * error instead). Executed as EncodeJob.deleteWhere: a full rewrite
+    * committed behind an atomic compaction record, so readers flip from
+    * pre-delete to post-delete in one instant and `asOfBatch` time
+    * travel still sees the deleted rows until vacuum.
+    */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall { p =>
+      val v1 = org.apache.spark.sql.graftbridge.Bridge.predicatesToV1(Array(p))
+      v1.length == 1 && FilterToColumn(v1(0)).isDefined
+    }
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
+    val cond = predicates.map { p =>
+      FilterToColumn(org.apache.spark.sql.graftbridge.Bridge.predicatesToV1(Array(p))(0))
+        .getOrElse(throw new UnsupportedOperationException(s"cannot delete by $p"))
+    }.reduceOption(_ && _).getOrElse(lit(true)) // no predicates = delete all
+    val parts = GraftWriteSupport.configFrom(outDir, merged(CaseInsensitiveStringMap.empty()),
+      spark).numPartitions
+    EncodeJob.deleteWhere(spark, outDir, cond, parts)
+  }
   override def name(): String = s"graft:$outDir"
   override def schema(): StructType = logicalSchema
   override def properties(): java.util.Map[String, String] = tableProps
@@ -220,9 +247,15 @@ object GraftWriteSupport {
     if (committed.isEmpty) { EncodeJob.run(data, cfg); return }
 
     // append onto live data: schema and layout must match what readers
-    // already see — fail loud rather than silently corrupt the dir
+    // already see — fail loud rather than silently corrupt the dir.
+    // Nullability is compared permissively (a non-null projection may
+    // append into a nullable table; writeSchemaJson keeps the wider
+    // nullability on disk)
     EncodeJob.schemaFromDisk(spark, outDir).foreach { onDisk =>
-      require(onDisk == data.schema,
+      require(onDisk.fields.length == data.schema.fields.length &&
+          onDisk.fields.zip(data.schema.fields).forall { case (a, b) =>
+            a.name == b.name && a.dataType == b.dataType &&
+              (a.nullable || !b.nullable) }, // nullable data into a non-null table is the one bad direction
         s"append schema mismatch for $outDir:\n  on disk: $onDisk\n  appending: ${data.schema}")
     }
     require(EncodeJob.isColumnPartitioned(spark, outDir) == cfg.partitionByColumn,
@@ -1384,5 +1417,37 @@ object ChunkGroupParser {
       seg_lens = segLens,
       stride_null_counts = intList("stride_null_counts"),
       bloom = if (has("bloom")) Some(g.getBinary("bloom", 0).getBytes) else None)
+  }
+}
+
+/** Lossless V1 `Filter` → `Column` translation for DELETE conditions.
+  * None for anything not representable — the caller must then REFUSE
+  * the whole delete (a partial translation would broaden the condition
+  * and remove rows the user never asked to delete).
+  */
+private[source] object FilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  def apply(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r)                => for (lc <- apply(l); rc <- apply(r)) yield lc && rc
+    case Or(l, r)                 => for (lc <- apply(l); rc <- apply(r)) yield lc || rc
+    case Not(c)                   => apply(c).map(not)
+    case _: AlwaysTrue            => Some(lit(true))
+    case _: AlwaysFalse           => Some(lit(false))
+    case _                        => None
   }
 }

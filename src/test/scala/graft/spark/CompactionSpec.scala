@@ -140,6 +140,17 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").load(o).count() == 600L)
   }
 
+  test("deleteWhere: full rewrite behind the record; readers flip atomically") {
+    val o = s"$tmp/delete"
+    frame(0, 1000).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    val newBatch = EncodeJob.deleteWhere(spark, o, col("id") % 2 === 0, targetPartitions = 2)
+    assert(EncodeJob.committedBatches(spark, o) == Set(newBatch))
+    val left = spark.read.format("graft").load(o)
+    assert(left.count() == 500 && left.filter(col("id") % 2 === 0).count() == 0)
+    // pre-delete rows reachable via time travel until vacuum
+    assert(spark.read.format("graft").option("asOfBatch", "0").load(o).count() == 1000)
+  }
+
   test("vacuum reclaims crashed-write orphan batch dirs") {
     val o = s"$tmp/orphan"
     frame(0, 300).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)

@@ -97,6 +97,26 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .first().getLong(0) == 600)
   }
 
+  test("SQL DELETE FROM: exact predicates, atomic swap, time travel keeps history") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("CREATE TABLE graft.del.t (id BIGINT, lang STRING) USING graft TBLPROPERTIES ('numPartitions'='2')")
+    spark.sql("INSERT INTO graft.del.t SELECT id, CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END FROM range(900)")
+    spark.sql("DELETE FROM graft.del.t WHERE lang = 'en' AND id >= 300")
+    val left = spark.sql("SELECT count(*) FROM graft.del.t").first().getLong(0)
+    assert(left == 900 - 200, s"$left") // 200 en-rows with id in [300, 900)
+    assert(spark.sql("SELECT count(*) FROM graft.del.t WHERE lang = 'en'").first().getLong(0) == 100)
+    // history intact until vacuum
+    assert(spark.sql("SELECT count(*) FROM graft.del.t VERSION AS OF 0").first().getLong(0) == 900)
+    // IN + null-semantics: rows where the condition is NULL are KEPT
+    spark.sql("INSERT INTO graft.del.t SELECT id, NULL FROM range(1000, 1010)")
+    spark.sql("DELETE FROM graft.del.t WHERE lang IN ('de')")
+    assert(spark.sql("SELECT count(*) FROM graft.del.t").first().getLong(0) == 100 + 10,
+      "null-lang rows must survive a lang IN ('de') delete")
+    // delete-all via unconditioned DELETE
+    spark.sql("DELETE FROM graft.del.t WHERE true")
+    assert(spark.sql("SELECT count(*) FROM graft.del.t").first().getLong(0) == 0)
+  }
+
   test("aggregate pushdown works through the catalog (metadata-only)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
     spark.sql("CREATE TABLE graft.agg.t (k BIGINT, v DOUBLE) USING graft TBLPROPERTIES ('numPartitions'='2')")
