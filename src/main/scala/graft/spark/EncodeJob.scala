@@ -445,6 +445,33 @@ object EncodeJob {
       // filter them out)
       transform = _.filter(!coalesce(condition, lit(false))))
 
+  /** Row-level UPDATE as a rewrite: rows where `condition` is TRUE get
+    * each assignment applied; all other rows (including condition-NULL,
+    * per SQL semantics) pass through unchanged. Same atomic
+    * compaction-record commit and time-travel story as deleteWhere.
+    * Assignments must target EXISTING columns (this is DML, not schema
+    * evolution) and must not change the column's type.
+    */
+  def updateWhere(spark: SparkSession, outDir: String, condition: Column,
+                  assignments: Map[String, Column], targetPartitions: Int): Int = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val schema = schemaFromDisk(spark, outDir).getOrElse(
+      throw new IllegalArgumentException(s"no ${schemaPath(outDir)} — cannot update"))
+    assignments.keys.foreach { c =>
+      require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"updateWhere: no column $c in ${schema.fieldNames.mkString(",")}")
+    }
+    rewriteBatches(spark, outDir, targetPartitions, keyColumn = None, batches = None,
+      compression = None, sortColumns = Nil, zorderColumns = Nil,
+      transform = df => {
+        val hit = coalesce(condition, lit(false))
+        assignments.foldLeft(df) { case (d, (c, v)) =>
+          val field = schema.fields.find(_.name.equalsIgnoreCase(c)).get
+          d.withColumn(field.name, when(hit, v.cast(field.dataType)).otherwise(col(field.name)))
+        }
+      })
+  }
+
   private def rewriteBatches(spark: SparkSession, outDir: String, targetPartitions: Int,
                              keyColumn: Option[String],
                              batches: Option[Set[Int]],

@@ -151,6 +151,25 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").option("asOfBatch", "0").load(o).count() == 1000)
   }
 
+  test("updateWhere: conditional assignments, unmatched rows untouched, history kept") {
+    val o = s"$tmp/update"
+    frame(0, 1000).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    EncodeJob.updateWhere(spark, o, col("id") < 100,
+      Map("s" -> concat(lit("updated-"), col("id")), "v" -> lit(-1.0)), targetPartitions = 2)
+    val after = spark.read.format("graft").load(o)
+    assert(after.count() == 1000)
+    assert(after.filter(col("s").startsWith("updated-")).count() == 100)
+    assert(after.filter(col("v") === -1.0).count() == 100)
+    assert(after.filter(col("id") === 500).first().getString(1) == "txt500") // untouched
+    // pre-update state time-travels
+    assert(spark.read.format("graft").option("asOfBatch", "0").load(o)
+      .filter(col("s").startsWith("updated-")).count() == 0)
+    // unknown column refused
+    intercept[IllegalArgumentException] {
+      EncodeJob.updateWhere(spark, o, col("id") < 5, Map("nope" -> lit(1)), 2)
+    }
+  }
+
   test("vacuum reclaims crashed-write orphan batch dirs") {
     val o = s"$tmp/orphan"
     frame(0, 300).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
