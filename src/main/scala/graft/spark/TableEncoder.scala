@@ -329,6 +329,15 @@ object TableEncoder {
     }
   }
 
+  /** One predicate's stride-skip bounds in the stride index's long space.
+    * `nanBlockable`: the originating predicate can match NaN rows (double/
+    * float predicate unbounded above, or a NaN literal — Spark orders NaN
+    * above +Inf and NaN = NaN is true); stride indexes exclude NaN, so
+    * such a prune may only skip strides of chunks proven NaN-free.
+    */
+  final case class StridePrune(column: String, lo: Long, hi: Long,
+                               nanBlockable: Boolean = false)
+
   /** Order-preserving map double → long (Lucene's sortableLong): stride
     * min/max for double columns ride the same long-typed row-index fields
     * as integer columns, with predicate bounds mapped the same way.
@@ -773,7 +782,7 @@ object TableEncoder {
     * and decoded by the same adjacency grouper as the zero-shuffle path.
     */
   def decode(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
-             stridePrune: Option[(String, Long, Long)] = None): DataFrame =
+             stridePrune: Option[StridePrune] = None): DataFrame =
     decodeAdjacent(
       chunks.repartition(col("part_id"), col("chunk_id"))
         .sortWithinPartitions("part_id", "chunk_id"),
@@ -866,7 +875,7 @@ object TableEncoder {
     * Row.fromSeq path was 4.5× slower than encode at 32 cores).
     */
   private def decodeAdjacent(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
-                             stridePrune: Option[(String, Long, Long)] = None): DataFrame = {
+                             stridePrune: Option[StridePrune] = None): DataFrame = {
     val spark = chunks.sparkSession
     val specsB = spark.sparkContext.broadcast(specs)
     val schema = physicalSchema(specs)
@@ -889,7 +898,7 @@ object TableEncoder {
                 s"interleaved chunk groups: (${first.part_id},${first.chunk_id}) vs (${c.part_id},${c.chunk_id})")
               group(c.column) = c
             }
-            pending = decodeChunkInternalRows(group.toMap, sp, writer, stridePrune)
+            pending = decodeChunkInternalRows(group.toMap, sp, writer, stridePrune.toSeq)
           }
         }
         def hasNext: Boolean = { fill(); pending.hasNext }
@@ -916,7 +925,7 @@ object TableEncoder {
       it.flatMap { group =>
         require(group.length == sp.length,
           s"chunk group has ${group.length} column rows, expected ${sp.length}")
-        decodeChunkInternalRows(group.iterator.map(c => c.column -> c).toMap, sp, writer, None)
+        decodeChunkInternalRows(group.iterator.map(c => c.column -> c).toMap, sp, writer, Seq.empty)
       }
     }
     org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(spark, out, schema)
@@ -938,7 +947,7 @@ object TableEncoder {
     val longFamily = Set("long", "timestamp", "timestamp_ntz", "date", "decimal", "bool")
     val stridePrune = specs.find(s => s.name.equalsIgnoreCase(column) &&
         longFamily.contains(s.logical))
-      .map(s => (s.name, lo, hi))
+      .map(s => StridePrune(s.name, lo, hi))
     decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), LongType, stridePrune)
   }
 
@@ -953,22 +962,27 @@ object TableEncoder {
     // widen a lo == ±0.0 bound to the uncanonicalized -0.0 sortable value
     // (-1) so chunks written before signed-zero canonicalization (whose
     // stride stats may carry -1 for -0.0) are still kept, never dropped
+    // NaN can match [lo, hi] only when hi itself is NaN (x <= NaN is true
+    // for NaN and for nothing finite) — then stats/stride pruning must
+    // keep chunks that may hold NaN rows (stats exclude NaN)
+    val nanMatch = hi.isNaN
     val stridePrune = specs.find(s => s.name.equalsIgnoreCase(column)).flatMap { s =>
       s.logical match {
         case "double" =>
           val loBits = if (lo == 0.0) -1L else doubleSortableBits(lo)
-          Some((s.name, loBits, doubleSortableBits(hi)))
+          Some(StridePrune(s.name, loBits, doubleSortableBits(hi), nanBlockable = nanMatch))
         case "float" =>
           var lf = lo.toFloat // round bounds OUTWARD to floats
           if (lf.toDouble > lo) lf = Math.nextDown(lf)
           var hf = hi.toFloat
           if (hf.toDouble < hi) hf = Math.nextUp(hf)
           val loBits = if (lf == 0.0f) -1L else floatSortableBits(lf)
-          Some((s.name, loBits, floatSortableBits(hf)))
+          Some(StridePrune(s.name, loBits, floatSortableBits(hf), nanBlockable = nanMatch))
         case _ => None
       }
     }
-    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), DoubleType, stridePrune)
+    decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), DoubleType, stridePrune,
+      nanKeep = nanMatch)
   }
 
   /** Range-prune on a string column's stats: chunk-level lexicographic
@@ -981,7 +995,7 @@ object TableEncoder {
       .map { s =>
         val loB = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val hiB = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        (s.name, stringPrefixFloor(loB), stringPrefixCeil(hiB))
+        StridePrune(s.name, stringPrefixFloor(loB), stringPrefixCeil(hiB))
       }
     decodePrunedTyped(chunks, specs, column, lit(lo), lit(hi), StringType, stridePrune)
   }
@@ -1004,7 +1018,7 @@ object TableEncoder {
     val loU = clampMantissa(lo.setScale(s, java.math.RoundingMode.FLOOR).unscaledValue)
     val hiU = clampMantissa(hi.setScale(s, java.math.RoundingMode.CEILING).unscaledValue)
     decodePrunedTyped(chunks, specs, spec.name, lit(lo), lit(hi), DecimalType(p, s),
-      stridePrune = Some((spec.name, loU, hiU)))
+      stridePrune = Some(StridePrune(spec.name, loU, hiU)))
   }
 
   /** Point-lookup prune on a string column: a chunk is decoded only when
@@ -1022,7 +1036,7 @@ object TableEncoder {
     val bytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val (h1, h2) = graft.core.Bloom.hashPair(bytes)
     decodePrunedEqualsImpl(chunks, specs, spec.name, lit(value), StringType, h1, h2,
-      Some((spec.name, stringPrefixFloor(bytes), stringPrefixCeil(bytes))))
+      Some(StridePrune(spec.name, stringPrefixFloor(bytes), stringPrefixCeil(bytes))))
   }
 
   /** Point-lookup prune on a BINARY column — content-addressed lookup of
@@ -1048,13 +1062,13 @@ object TableEncoder {
     require(longFamily.contains(spec.logical), s"$column is ${spec.logical}, not long-family")
     val (h1, h2) = graft.core.Bloom.hashPairLong(value)
     decodePrunedEqualsImpl(chunks, specs, spec.name, lit(value), LongType, h1, h2,
-      Some((spec.name, value, value)))
+      Some(StridePrune(spec.name, value, value)))
   }
 
   private def decodePrunedEqualsImpl(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
                                      colName: String, v: Column, statType: DataType,
                                      h1: Long, h2: Long,
-                                     stridePrune: Option[(String, Long, Long)]): DataFrame = {
+                                     stridePrune: Option[StridePrune]): DataFrame = {
     import chunks.sparkSession.implicits._
     // metadata-only keep pass like decodePrunedTyped: range test on the
     // stats strings plus a bloom rejection test over the (small) bloom
@@ -1078,7 +1092,8 @@ object TableEncoder {
   private def decodePrunedTyped(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
                                 column: String, lo: Column, hi: Column,
                                 statType: DataType,
-                                stridePrune: Option[(String, Long, Long)] = None): DataFrame = {
+                                stridePrune: Option[StridePrune] = None,
+                                nanKeep: Boolean = false): DataFrame = {
     import chunks.sparkSession.implicits._
     // column-based (untyped) predicate: a typed lambda filter would
     // deserialize whole EncodedChunk objects — including the stream
@@ -1088,10 +1103,15 @@ object TableEncoder {
     // stat type (e.g. pruning a string column's stats as long, where
     // try_cast yields null instead of an ANSI cast error) — must KEEP
     // the chunk (conservative full scan), never silently drop it.
-    val overlap = coalesce(
+    // nanKeep: the predicate can match NaN rows, which min/max exclude —
+    // keep any chunk whose nan_count may be > 0 (null = unknown = keep).
+    val rangeKeep = coalesce(
       !(col("max_val").try_cast(statType.sql) < lo.cast(statType) ||
         col("min_val").try_cast(statType.sql) > hi.cast(statType)),
       lit(true))
+    val overlap =
+      if (nanKeep) rangeKeep || coalesce(col("nan_count") > lit(0), lit(true))
+      else rangeKeep
     val keep = chunks.toDF()
       .filter(col("column") === column && overlap)
       .select("part_id", "chunk_id")
@@ -1204,21 +1224,43 @@ object TableEncoder {
     }
   }
 
-  /** strideKeep bitmap from the pruning column's stride stats, or null
-    * when no sub-chunk pruning applies.
+  /** strideKeep bitmap intersected across EVERY pruning predicate's
+    * stride stats (a two-column conjunction skips the union of what each
+    * predicate alone would skip), paired with the stride row width; null
+    * when no sub-chunk pruning applies. Predicates whose stride arrays
+    * disagree in shape with the first contributor are ignored
+    * (conservative keep). A nanBlockable prune (its predicate can match
+    * NaN rows) only acts on chunks PROVEN NaN-free — stride indexes
+    * exclude NaN, so on a chunk with nan_count > 0 (or unknown) its
+    * bounds could skip strides whose only matching rows are NaN.
     */
   private def strideKeepFor(byCol: Map[String, EncodedChunk],
-                            stridePrune: Option[(String, Long, Long)]): Array[Boolean] = {
-    stridePrune.foreach { case (colName, lo, hi) =>
-      byCol.get(colName).foreach { c =>
-        if (c.stride_rows > 0 && c.stride_mins.isDefined && c.stride_maxs.isDefined) {
+                            stridePrunes: Seq[StridePrune]): (Array[Boolean], Int) = {
+    var keep: Array[Boolean] = null
+    var strideN = 0
+    stridePrunes.foreach { sp =>
+      byCol.get(sp.column).foreach { c =>
+        val nanBlocked = sp.nanBlockable && c.nan_count.forall(_ > 0)
+        if (!nanBlocked && c.stride_rows > 0 &&
+            c.stride_mins.isDefined && c.stride_maxs.isDefined) {
           val mins = c.stride_mins.get.toArray
           val maxs = c.stride_maxs.get.toArray
-          return Array.tabulate(mins.length)(s => !(maxs(s) < lo || mins(s) > hi))
+          val lo = sp.lo
+          val hi = sp.hi
+          if (keep == null) {
+            keep = Array.tabulate(mins.length)(s => !(maxs(s) < lo || mins(s) > hi))
+            strideN = c.stride_rows
+          } else if (mins.length == keep.length && c.stride_rows == strideN) {
+            var s = 0
+            while (s < keep.length) {
+              if (keep(s) && (maxs(s) < lo || mins(s) > hi)) keep(s) = false
+              s += 1
+            }
+          }
         }
       }
     }
-    null
+    if (keep == null) null else (keep, strideN)
   }
 
   /** Decode one chunk's columns and emit UnsafeRows through a reused
@@ -1231,13 +1273,13 @@ object TableEncoder {
   private[spark] def decodeChunkInternalRows(
       byCol: Map[String, EncodedChunk], specs: Array[ColumnSpec],
       writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter,
-      stridePrune: Option[(String, Long, Long)] = None)
+      stridePrunes: Seq[StridePrune] = Seq.empty)
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val nCols = specs.length
     if (specs.forall { s =>
       val c = byCol(s.name)
       c.seg_lens.isDefined && c.stride_null_counts.isDefined && c.stride_rows > 0
-    }) return decodeSegmentedInternalRows(byCol, specs, writer, stridePrune)
+    }) return decodeSegmentedInternalRows(byCol, specs, writer, stridePrunes)
 
     val cols = new Array[Decoded](nCols)
     var rowCount = -1
@@ -1259,8 +1301,9 @@ object TableEncoder {
     // built, nothing emitted downstream) — the reference's RowIndex
     // purpose, which its own reader never exploits. (Whole-stream chunks
     // still pay the decode; segmented chunks skip that too.)
-    val strideKeep = strideKeepFor(byCol, stridePrune)
-    val strideN = if (strideKeep != null) byCol(stridePrune.get._1).stride_rows else 0
+    val sk = strideKeepFor(byCol, stridePrunes)
+    val strideKeep = if (sk == null) null else sk._1
+    val strideN = if (sk == null) 0 else sk._2
     val cursors = new Array[Int](nCols) // next value index per column (non-null stream)
     val total = rowCount
     new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
@@ -1294,7 +1337,7 @@ object TableEncoder {
   private def decodeSegmentedInternalRows(
       byCol: Map[String, EncodedChunk], specs: Array[ColumnSpec],
       writer: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter,
-      stridePrune: Option[(String, Long, Long)])
+      stridePrunes: Seq[StridePrune])
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val nCols = specs.length
     val chunksArr = specs.map(s => byCol(s.name))
@@ -1314,7 +1357,10 @@ object TableEncoder {
         (k, offs, lens)
       }.toArray
     }
-    val strideKeep = strideKeepFor(byCol, stridePrune)
+    val strideKeep = {
+      val sk = strideKeepFor(byCol, stridePrunes)
+      if (sk == null) null else sk._1
+    }
 
     def decodeStrideCol(ci: Int, s: Int): Decoded = {
       val c = chunksArr(ci)

@@ -562,7 +562,12 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Map.empty
     val predCols = preds.map(_.column).toSet
-    val rows = spark.read.parquet(dir.toString)
+    val raw = spark.read.parquet(dir.toString)
+    // pre-nan_count sidecars: null-fill so keepSelfColumn's NaN clause
+    // resolves (null → conservative keep)
+    val rows = (if (raw.columns.contains("nan_count")) raw
+                else raw.withColumn("nan_count",
+                  org.apache.spark.sql.functions.lit(null).cast("int")))
       .filter(col("batch").isin(committed.toSeq: _*) &&
         col("column").isin(predCols.toSeq: _*))
     val chunkKeep = rows
@@ -823,16 +828,33 @@ final case class PrunePred(column: String, logical: String,
                            loDouble: Double, hiDouble: Double, doubleUsable: Boolean,
                            loStr: Option[String], hiStr: Option[String],
                            strideLo: Long, strideHi: Long, strideUsable: Boolean,
-                           bloomH1: Long, bloomH2: Long, bloomUsable: Boolean)
+                           bloomH1: Long, bloomH2: Long, bloomUsable: Boolean,
+                           nanKeeps: Boolean = false)
     extends ChunkPrune {
 
   override def strideBounds: Option[(Long, Long)] =
     if (strideUsable) Some((strideLo, strideHi)) else None
 
+  /** Chunk min/max (and stride indexes) EXCLUDE NaN — nan_count records
+    * them. Spark orders NaN above every value (nanSafeCompareDoubles), so
+    * a predicate whose match set can contain NaN (`x > v`, `x >= v`,
+    * `x = NaN`) must keep any chunk that may hold NaN rows, no matter
+    * what the NaN-free range says. Absent nan_count (pre-sidecar chunks)
+    * keeps — conservative.
+    */
+  private def nanMayMatch(c: EncodedChunk): Boolean =
+    nanKeeps && c.nan_count.forall(_ > 0)
+
   def keepsChunk(c: EncodedChunk): Boolean = {
+    if (nanMayMatch(c)) return true
     val byRange =
       if (longUsable) overlap(c, _.toLong, loLong, hiLong)(Ordering.Long)
-      else if (doubleUsable) overlap(c, _.toDouble, loDouble, hiDouble)(Ordering.Double.TotalOrdering)
+      // ±0.0 canonicalized on BOTH sides: stats render via Double.toString
+      // (can emit "-0.0"), TotalOrdering puts -0.0 < 0.0, but SQL compares
+      // -0.0 == 0.0 — without the `+ 0.0` a pushed `x >= 0.0` would prune
+      // a chunk whose max is -0.0 (mirrors doubleSortableBits).
+      else if (doubleUsable)
+        overlap(c, s => s.toDouble + 0.0, loDouble + 0.0, hiDouble + 0.0)(Ordering.Double.TotalOrdering)
       else if (loStr.isDefined || hiStr.isDefined) {
         def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
         overlap(c, u, u(loStr.getOrElse("")), hiStr.map(u).orNull)(
@@ -870,9 +892,17 @@ final case class PrunePred(column: String, logical: String,
       if (longUsable)
         coalesce(!(col("max_val").try_cast("bigint") < lit(loLong) ||
                    col("min_val").try_cast("bigint") > lit(hiLong)), lit(true))
-      else if (doubleUsable)
-        coalesce(!(col("max_val").try_cast("double") < lit(loDouble) ||
-                   col("min_val").try_cast("double") > lit(hiDouble)), lit(true))
+      else if (doubleUsable) {
+        // SQL comparisons already treat -0.0 == 0.0 and order NaN largest
+        // (nanSafeCompareDoubles), so no canonicalization needed here; the
+        // NaN hole is the same as keepsChunk's: stats exclude NaN, so a
+        // NaN-matchable predicate must keep rows whose nan_count may be >0
+        // (null nan_count — older sidecar — keeps, conservative).
+        val range =
+          coalesce(!(col("max_val").try_cast("double") < lit(loDouble) ||
+                     col("min_val").try_cast("double") > lit(hiDouble)), lit(true))
+        if (nanKeeps) range || coalesce(col("nan_count") > lit(0), lit(true)) else range
+      }
       else if (loStr.isDefined || hiStr.isDefined)
         coalesce(!(hiStr.map(h => col("min_val") > lit(h)).getOrElse(lit(false)) ||
                    col("max_val") < lit(loStr.getOrElse(""))), lit(true))
@@ -982,10 +1012,15 @@ object PrunePred {
              else if (lo) TableEncoder.floatSortableBits(lf) else Long.MinValue,
              if (hi) TableEncoder.floatSortableBits(hf) else Long.MaxValue)
           }
+        // the predicate's match set can contain NaN when it's unbounded
+        // above (GreaterThan[OrEqual] — Spark orders NaN above +Inf, so
+        // NaN rows satisfy `x > v`) or when the literal itself is NaN
+        // (NaN = NaN is TRUE in Spark SQL)
         Some(PrunePred(spec.name, spec.logical, 0, 0, longUsable = false,
           if (lo) value else Double.NegativeInfinity,
           if (hi) value else Double.PositiveInfinity, doubleUsable = true,
-          None, None, sLo, sHi, strideUsable = true, 0, 0, bloomUsable = false))
+          None, None, sLo, sHi, strideUsable = true, 0, 0, bloomUsable = false,
+          nanKeeps = !hi || value.isNaN))
       case "string" =>
         val s = v match { case x: String => x; case _ => return None }
         val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1257,9 +1292,19 @@ final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnS
     UnsafeProjection.create(if (emitEmptyRows) Seq.empty[Expression] else exprs)
   }
 
-  private val stridePrune: Option[(String, Long, Long)] =
-    preds.iterator.flatMap(p => p.strideBounds.map(b => (p.column, b._1, b._2)))
-      .nextOption()
+  /** Stride-skip bounds from EVERY pushed predicate (keep-sets intersect
+    * in strideKeepFor — a two-column conjunction skips the union of what
+    * each predicate alone would). NaN-matchable predicates are marked
+    * nanBlockable: strideKeepFor only lets them skip strides of chunks
+    * proven NaN-free (the stride index excludes NaN).
+    */
+  private val stridePrunes: Seq[TableEncoder.StridePrune] =
+    preds.toSeq.flatMap {
+      case p: PrunePred =>
+        p.strideBounds.map(b =>
+          TableEncoder.StridePrune(p.column, b._1, b._2, nanBlockable = p.nanKeeps))
+      case p => p.strideBounds.map(b => TableEncoder.StridePrune(p.column, b._1, b._2))
+    }
 
   private var pendingFirst: Option[Group] = None // row-grouped lookahead
   private var rows: Iterator[InternalRow] = Iterator.empty
@@ -1276,7 +1321,7 @@ final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnS
       if (group == null) return false
       if (preds.forall(p => group.get(p.column).forall(p.keepsChunk)))
         rows = TableEncoder.decodeChunkInternalRows(
-          group.map { case (k, v) => k -> v }, specs, writer, stridePrune)
+          group.map { case (k, v) => k -> v }, specs, writer, stridePrunes)
     }
     current = toLogical(rows.next())
     emitted += 1

@@ -285,6 +285,94 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toString == aggs(df).collect().head.toString)
   }
 
+  test("format(graft): NaN rows survive double/float FILTER pushdown (stats exclude NaN)") {
+    // chunk min/max exclude NaN (nan_count records them); Spark orders NaN
+    // above +Inf, so `x > v` and `x = NaN` match NaN rows that the NaN-free
+    // range says to prune. Layout: NaN lives in a chunk whose finite max is
+    // far BELOW every bound used here — the old range-only prune dropped it.
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, 1.5, 1.5f), (2L, Double.NaN, Float.NaN), (3L, 2.5, 2.5f),
+      (4L, 500.0, 500.0f), (5L, 600.0, 600.0f), (6L, 700.0, 700.0f)), 1))
+      .toDF("id", "v_double", "v_float")
+    val out = s"$tmp/filter-nan"
+    // id-banded chunks: {1,2,3} (finite max 2.5 + the NaNs) and {4,5,6}
+    df.repartition(2, (col("id") <= 3).cast("int")).write.format("graft")
+      .mode("overwrite").option("numPartitions", "2").save(out)
+    val src = spark.read.format("graft").load(out)
+    def check(f: DataFrame => DataFrame): Unit = {
+      val got = f(src).collect().map(_.toString).sorted
+      val want = f(df).collect().map(_.toString).sorted
+      assert(got sameElements want, s"${got.mkString(",")} vs ${want.mkString(",")}")
+    }
+    check(_.filter(col("v_double") > 100.0))   // NaN + {500,600,700}
+    check(_.filter(col("v_double") >= 600.0))  // NaN + {600,700}
+    check(_.filter(col("v_float") > 100.0f))
+    check(_.filter(col("v_double") === Double.NaN)) // NaN = NaN is TRUE in SQL
+    check(_.filter(col("v_float") === Float.NaN))
+    // bounded-above predicates must still prune as before (NaN can't match)
+    check(_.filter(col("v_double") < 2.0))
+    graft.core.BlockCompression.resetCounters()
+    src.filter(col("v_double") < 2.0).agg(sum("id")).first()
+    val bounded = graft.core.BlockCompression.decompressInputBytes
+    graft.core.BlockCompression.resetCounters()
+    // same column set (id + v_double), filter keeps every chunk
+    src.filter(col("v_double") < 1e9).agg(sum("id")).first()
+    val full = graft.core.BlockCompression.decompressInputBytes
+    assert(bounded < full, s"bounded-above pruning lost: $bounded vs $full")
+  }
+
+  test("format(graft): x >= 0.0 keeps a chunk whose max is -0.0 (signed-zero canonicalization)") {
+    // stats render via Double.toString (can emit "-0.0"); TotalOrdering puts
+    // -0.0 < 0.0 but SQL compares -0.0 == 0.0 — the chunk-level compare must
+    // canonicalize or a pushed `x >= 0.0` drops the -0.0 rows
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, -0.0, -0.0f), (2L, -5.0, -5.0f), (3L, 7.0, 7.0f), (4L, 9.0, 9.0f)), 1))
+      .toDF("id", "v_double", "v_float")
+    val out = s"$tmp/filter-negzero"
+    df.repartition(2, (col("id") <= 2).cast("int")).write.format("graft")
+      .mode("overwrite").option("numPartitions", "2").save(out)
+    val src = spark.read.format("graft").load(out)
+    def check(f: DataFrame => DataFrame): Unit = {
+      val got = f(src).collect().map(_.toString).sorted
+      val want = f(df).collect().map(_.toString).sorted
+      assert(got sameElements want, s"${got.mkString(",")} vs ${want.mkString(",")}")
+    }
+    check(_.filter(col("v_double") >= 0.0))
+    check(_.filter(col("v_double") === 0.0))
+    check(_.filter(col("v_float") >= 0.0f))
+    check(_.filter(col("v_double") <= -0.0)) // and the mirror: 0.0-stat chunks vs <= -0.0
+  }
+
+  test("format(graft): two-column conjunction intersects stride keep-sets") {
+    // a AND b on different columns must skip the UNION of what each skips:
+    // a ascends, b descends, so `a > P75 AND b > P75` matches nothing —
+    // per-predicate stride pruning keeps the top quarter of strides for one
+    // column each; intersected, zero strides survive in the middle chunks
+    val n = 40000L
+    val df = spark.range(n).select(col("id").as("a"), (lit(n - 1) - col("id")).as("b"),
+      concat(lit("pay-"), col("id")).as("s"))
+    val out = s"$tmp/stride-twocol"
+    df.coalesce(1).write.format("graft").mode("overwrite")
+      .option("numPartitions", "1").save(out)
+    val src = spark.read.format("graft").load(out)
+    val lo = (n * 3) / 4
+    def decompressed(f: DataFrame => DataFrame): Long = {
+      graft.core.BlockCompression.resetCounters()
+      f(src).agg(count(lit(1))).first()
+      graft.core.BlockCompression.decompressInputBytes
+    }
+    val both = decompressed(_.filter(col("a") > lo && col("b") > lo))
+    val aOnly = decompressed(_.filter(col("a") > lo))
+    val bOnly = decompressed(_.filter(col("b") > lo))
+    assert(src.filter(col("a") > lo && col("b") > lo).count() == 0)
+    assert(both < aOnly && both < bOnly,
+      s"conjunction should skip strictly more than either alone: $both vs $aOnly / $bOnly")
+    // exactness on a satisfiable conjunction
+    val got = src.filter(col("a") > lo && col("b") >= n - 1 - lo - 100).count()
+    val want = df.filter(col("a") > lo && col("b") >= n - 1 - lo - 100).count()
+    assert(got == want, s"$got vs $want")
+  }
+
   test("format(graft): limit pushdown decodes only the chunks it needs") {
     // many small chunks per partition so a pushed limit has something to skip
     val out = s"$tmp/limit"
