@@ -253,7 +253,72 @@ object EncodeJob {
         col("min_val"), col("max_val"), col("null_count"), col("row_count"),
         col("nan_count"), col("bloom"), normalize(input_file_name()).as("file"))
       .write.mode(SaveMode.Overwrite).parquet(filestatsBatchDir(outDir, batchId))
+    writeFileMeta(spark, outDir, batchId)
   }
+
+  /** Per-batch file metadata (`_filemeta.json` inside the batch's sidecar
+    * dir — the underscore keeps parquet readers away): currently the max
+    * chunk-file size, recorded at WRITE time (one bounded listing of the
+    * batch just written, while its entries are hot) so later readers can
+    * pin file-split confs without ever walking the chunk tree. At 100 TB
+    * scan planning must be O(metadata), not O(files) driver RPC.
+    */
+  private def writeFileMeta(spark: SparkSession, outDir: String, batchId: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(chunkBatchDir(outDir, batchId))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var largest = 0L
+    if (fs.exists(dir)) {
+      val it = fs.listFiles(dir, /* recursive into column= dirs */ true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && !s.getPath.getName.startsWith("_"))
+          largest = math.max(largest, s.getLen)
+      }
+    }
+    val p = new org.apache.hadoop.fs.Path(filestatsBatchDir(outDir, batchId), "_filemeta.json")
+    val os = fs.create(p, /* overwrite */ true)
+    try os.write(s"""{"max_file_bytes":$largest}""".getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Max chunk-file size across all batches that recorded a
+    * `_filemeta.json` — None when any batch dir predates the metadata
+    * (caller falls back to the legacy walk). Over-approximating is safe:
+    * the split bound only needs to be ≥ every VISIBLE file, and replaced-
+    * but-unvacuumed batches can only raise it.
+    */
+  private def maxFileBytesFromMeta(spark: SparkSession, outDir: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val chunkRoot = new org.apache.hadoop.fs.Path(chunkDir(outDir))
+    val fs = chunkRoot.getFileSystem(conf)
+    if (!fs.exists(chunkRoot)) return Some(1L)
+    val entries = fs.listStatus(chunkRoot)
+    // anything that isn't a batch= dir (flat legacy/externally-rewritten
+    // layouts, stray files) means the metadata doesn't cover the dir —
+    // returning a too-SMALL bound here would make Spark split every file
+    // into bound-sized slivers (a 1-byte bound = millions of tasks)
+    if (!entries.forall(e => e.isDirectory && e.getPath.getName.startsWith("batch=")))
+      return None
+    val batches = entries.iterator.map(_.getPath.getName.stripPrefix("batch=").toInt).toSeq
+    if (batches.isEmpty) return None
+    var largest = 1L
+    batches.foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(filestatsBatchDir(outDir, b), "_filemeta.json")
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      raw""""max_file_bytes"\s*:\s*(\d+)""".r.findFirstMatchIn(text) match {
+        case Some(m) => largest = math.max(largest, m.group(1).toLong)
+        case None    => return None
+      }
+    }
+    Some(largest)
+  }
+
+  /** Count of legacy chunk-TREE walks (recursive driver-side listings of
+    * the chunk dir at PLAN time) — instrumentation for the tests that
+    * prove metadata-planned scans never list the data tree.
+    */
+  val chunkTreeWalks = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Batch ids whose manifest rows are committed, with compaction records
     * applied — the only batches a BATCH reader may decode. A compaction
@@ -1122,14 +1187,21 @@ object EncodeJob {
     val prevMax = conf.getOption("spark.sql.files.maxPartitionBytes")
     val prevOpen = conf.getOption("spark.sql.files.openCostInBytes")
     try {
-      val dir = new org.apache.hadoop.fs.Path(chunkDir(outDir))
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      var largest = 1L
-      val it = fs.listFiles(dir, /* recursive into batch= dirs */ true)
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && !s.getPath.getName.startsWith("_"))
-          largest = math.max(largest, s.getLen)
+      // the bound comes from per-batch _filemeta.json (recorded at write
+      // time) — O(batches) tiny reads; the recursive chunk-tree walk is
+      // only the legacy-dir fallback (pre-metadata batches)
+      val largest = maxFileBytesFromMeta(spark, outDir).getOrElse {
+        chunkTreeWalks.incrementAndGet()
+        val dir = new org.apache.hadoop.fs.Path(chunkDir(outDir))
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        var max = 1L
+        val it = fs.listFiles(dir, /* recursive into batch= dirs */ true)
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && !s.getPath.getName.startsWith("_"))
+            max = math.max(max, s.getLen)
+        }
+        max
       }
       conf.set("spark.sql.files.maxPartitionBytes", largest.toString)
       conf.set("spark.sql.files.openCostInBytes", largest.toString)

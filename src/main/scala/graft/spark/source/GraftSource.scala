@@ -590,16 +590,54 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     val dir = new Path(EncodeJob.filestatsDir(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Seq.empty
-    val byBatch = scala.collection.mutable.Map[Int, List[String]]()
-    val it = fs.listFiles(dir, /* recursive */ true)
-    while (it.hasNext) {
-      val p = it.next().getPath.toString
-      if (new Path(p).getName.endsWith(".parquet"))
-        """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
-          .filter(committed.contains)
-          .foreach(b => byBatch(b) = p :: byBatch.getOrElse(b, Nil))
+    // one bounded listing per COMMITTED batch dir (never a recursive walk
+    // of the whole sidecar tree — replaced/orphan batches stay unvisited)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    committed.toSeq.sorted.foreach { b =>
+      val bd = new Path(EncodeJob.filestatsBatchDir(outDir, b))
+      if (!fs.exists(bd)) return Seq.empty // pre-sidecar batch: caller uses chunk files
+      fs.listStatus(bd).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          out += st.getPath.toString
+      }
     }
-    if (committed.subsetOf(byBatch.keySet)) byBatch.values.flatten.toSeq else Seq.empty
+    out.toSeq
+  }
+
+  /** Chunk-file list for `committed` from the filestats SIDECAR — the
+    * table's own metadata, read distributedly (the driver receives only
+    * the distinct (batch, file) pairs) — so scan planning never lists the
+    * chunk tree: at 100 TB / millions of files on an object store, an
+    * O(files) recursive driver listing per query plan is the Hive-era
+    * bottleneck table formats exist to remove. None when any committed
+    * batch predates the sidecar (caller falls back to the legacy walk).
+    * Cf. the reference's FileTail idea — never list, read the metadata
+    * (/root/reference/src/ApacheOrcDotNet/FileTail.cs:22-54) — lifted
+    * from file level to table level.
+    */
+  private def sidecarChunkFiles(committed: Set[Int])
+      : Option[Seq[(Int, Option[String], String)]] = {
+    if (committed.isEmpty) return Some(Seq.empty)
+    val dir = new Path(EncodeJob.filestatsDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    // O(batches) presence probe, not a tree walk
+    val present = fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case n if n.startsWith("batch=") => n.stripPrefix("batch=").toInt
+    }.toSet
+    if (!committed.subsetOf(present)) return None
+    val sidecar = filestatsFiles(committed)
+    if (sidecar.isEmpty) return Some(Seq.empty)
+    // leaf-file reads skip Hive partition discovery, so `batch` rides in
+    // the chunk-file path itself (chunks/batch=N/...), same as the walk
+    val rows = spark.read.parquet(sidecar: _*)
+      .select(org.apache.spark.sql.functions.col("file")).distinct().collect()
+    Some(rows.iterator.flatMap { r =>
+      val p = r.getString(0)
+      val batch = """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
+      val column = """column=([^/]+)/""".r.findFirstMatchIn(p).map(_.group(1))
+      batch.filter(committed.contains).map(b => (b, column, p))
+    }.toSeq)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -615,7 +653,6 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     val specs = TableEncoder.subsetSpecs(allSpecs, emitColumns)
     val dir = new Path(EncodeJob.chunkDir(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.ArrayBuffer[(Int, Option[String], String)]()
     // a schema-only table (CREATE TABLE, nothing inserted yet) has no
     // chunk dir: zero partitions for a row scan; aggregate mode falls
     // through to its identity partial (count 0). A dir with COMMITTED
@@ -624,19 +661,31 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     require(fs.exists(dir) || committed.isEmpty,
       s"$outDir has committed batches ${committed.toSeq.sorted.mkString(",")} " +
         "but no chunk dir — externally deleted?")
-    if (fs.exists(dir)) {
-      val it = fs.listFiles(dir, /* recursive */ true)
-      while (it.hasNext) {
-        val f = it.next()
-        val p = f.getPath.toString
-        if (f.getPath.getName.endsWith(".parquet")) {
-          val batch = """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
-          val column = """column=([^/]+)/""".r.findFirstMatchIn(p).map(_.group(1))
-          batch.filter(b => committed.contains(b) && batchKeep(b))
-            .foreach(b => files += ((b, column, p)))
-        }
+    // plan from the table's own metadata (filestats sidecar) whenever
+    // every committed batch carries one; the recursive chunk-tree walk is
+    // only the legacy-dir fallback — O(files) driver listing per plan is
+    // the bottleneck manifests exist to remove
+    val files: Seq[(Int, Option[String], String)] =
+      sidecarChunkFiles(committed) match {
+        case Some(list) => list.filter(f => batchKeep(f._1))
+        case None =>
+          EncodeJob.chunkTreeWalks.incrementAndGet()
+          val buf = scala.collection.mutable.ArrayBuffer[(Int, Option[String], String)]()
+          if (fs.exists(dir)) {
+            val it = fs.listFiles(dir, /* recursive */ true)
+            while (it.hasNext) {
+              val f = it.next()
+              val p = f.getPath.toString
+              if (f.getPath.getName.endsWith(".parquet")) {
+                val batch = """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
+                val column = """column=([^/]+)/""".r.findFirstMatchIn(p).map(_.group(1))
+                batch.filter(b => committed.contains(b) && batchKeep(b))
+                  .foreach(b => buf += ((b, column, p)))
+              }
+            }
+          }
+          buf.toSeq
       }
-    }
     val keep = if (aggSlots.isDefined) Map.empty[String, Boolean]
                else fileKeep(activePreds, committed)
     def kept(path: String): Boolean = keep.getOrElse(normPath(path), true)

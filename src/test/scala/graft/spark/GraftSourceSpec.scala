@@ -373,6 +373,33 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"$got vs $want")
   }
 
+  test("format(graft): scans plan from sidecar metadata — the chunk tree is never listed") {
+    // multi-batch dir (append twice), both layouts of query: plan
+    // partitions, push a filter, run a metadata aggregate and a count —
+    // none may fall back to the recursive driver-side chunk-tree walk
+    // (EncodeJob.chunkTreeWalks counts legacy fallbacks); at 100 TB the
+    // walk is O(files) driver RPC per plan, the sidecar is O(metadata)
+    val out = s"$tmp/noscanwalk"
+    val df = spark.range(5000).select(col("id"), concat(lit("v"), col("id")).as("s"))
+    df.write.format("graft").mode("overwrite").option("numPartitions", "2").save(out)
+    df.withColumn("id", col("id") + 5000).write.format("graft").mode("append")
+      .option("numPartitions", "2").save(out)
+    val before = EncodeJob.chunkTreeWalks.get()
+    val src = spark.read.format("graft").load(out)
+    assert(src.count() == 10000)
+    assert(src.filter(col("id") === 9999L).collect().map(_.getLong(0)).toSeq == Seq(9999L))
+    assert(src.agg(max("id")).first().getLong(0) == 9999L)
+    assert(src.agg(sum("id")).first().getLong(0) == (0L until 10000L).sum)
+    assert(EncodeJob.chunkTreeWalks.get() == before,
+      "scan planning fell back to the recursive chunk-tree walk on a sidecar-complete dir")
+    // legacy dir (sidecar removed): the walk fallback still serves reads
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(EncodeJob.filestatsDir(out)), true)
+    assert(spark.read.format("graft").load(out).count() == 10000)
+    assert(EncodeJob.chunkTreeWalks.get() > before, "legacy fallback should have walked")
+  }
+
   test("format(graft): limit pushdown decodes only the chunks it needs") {
     // many small chunks per partition so a pushed limit has something to skip
     val out = s"$tmp/limit"
