@@ -683,6 +683,48 @@ object SparkEntry {
       s.sql("INSERT INTO gtmp.db.docs SELECT doc_id, lang, text FROM q_catalog_src")
       s.sql("SELECT doc_id, lang, text FROM gtmp.db.docs ORDER BY doc_id")
     }),
+    // SQL UPDATE through the catalog (GraftDmlStrategy → selective
+    // EncodeJob.updateWhere rewrite behind the atomic compaction record)
+    "q_update" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh-upd").toString
+      s.conf.set("spark.sql.catalog.gupd", "graft.spark.source.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gupd.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gupd.db")
+      s.sql("DROP TABLE IF EXISTS gupd.db.docs")
+      s.sql("""CREATE TABLE gupd.db.docs (doc_id BIGINT, lang STRING, text STRING)
+              |USING graft TBLPROPERTIES ('numPartitions' = '4')""".stripMargin)
+      read(s, dir, "documents").select("doc_id", "lang", "text")
+        .createOrReplaceTempView("q_update_src")
+      s.sql("INSERT INTO gupd.db.docs SELECT doc_id, lang, text FROM q_update_src")
+      s.sql("UPDATE gupd.db.docs SET lang = concat('u-', lang), " +
+        "text = upper(substring(text, 1, 8)) WHERE doc_id % 10 < 3")
+      s.sql("SELECT doc_id, lang, text FROM gupd.db.docs ORDER BY doc_id")
+    }),
+    // SQL MERGE INTO (matched update + conditional not-matched insert),
+    // copy-on-write through the same atomic-record rewrite
+    "q_merge" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh-mrg").toString
+      s.conf.set("spark.sql.catalog.gmrg", "graft.spark.source.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmrg.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gmrg.db")
+      s.sql("DROP TABLE IF EXISTS gmrg.db.docs")
+      s.sql("""CREATE TABLE gmrg.db.docs (doc_id BIGINT, lang STRING, text STRING)
+              |USING graft TBLPROPERTIES ('numPartitions' = '4')""".stripMargin)
+      read(s, dir, "documents").select("doc_id", "lang", "text")
+        .createOrReplaceTempView("q_merge_src")
+      s.sql("INSERT INTO gmrg.db.docs SELECT doc_id, lang, text FROM q_merge_src")
+      s.sql(
+        """MERGE INTO gmrg.db.docs t
+          |USING (SELECT doc_id * 2 AS doc_id, 'xx' AS lang, 'merged' AS text
+          |       FROM q_merge_src WHERE doc_id % 2 = 1) s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET t.lang = s.lang
+          |WHEN NOT MATCHED THEN INSERT (doc_id, lang, text) VALUES (s.doc_id, s.lang, s.text)
+          |""".stripMargin)
+      s.sql("SELECT doc_id, lang, text FROM gmrg.db.docs ORDER BY doc_id")
+    }),
     // Z-order clustering: one per-partition sort by the Morton key makes
     // chunk ranges selective on BOTH clustered columns — hard-gated on
     // the NON-leading dimension (l_suppkey), exactly the predicate a
@@ -808,6 +850,21 @@ object SparkEntry {
       """SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
         |WHERE l_suppkey = 17 ORDER BY l_partkey, l_suppkey, l_quantity""".stripMargin,
     "q_catalog" -> "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+    "q_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 < 3 THEN concat('u-', lang) ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 10 < 3 THEN upper(substring(text, 1, 8)) ELSE text END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_merge" ->
+      """WITH src AS (SELECT doc_id * 2 AS doc_id, 'xx' AS lang, 'merged' AS text
+        |             FROM documents WHERE doc_id % 2 = 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN 'xx' ELSE d.lang END AS lang, d.text
+        |FROM documents d LEFT JOIN src s ON d.doc_id = s.doc_id
+        |UNION ALL
+        |SELECT s.doc_id, s.lang, s.text
+        |FROM src s LEFT JOIN documents d ON d.doc_id = s.doc_id WHERE d.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin,
     "q_source_agg" ->
       """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         | count(l_orderkey) AS n_rows,

@@ -12,10 +12,13 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * imperatively.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), GraftExtensions.info(name), builder))
     }
+    // SQL UPDATE / MERGE INTO on graft tables (claims nothing else)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftdml.GraftDmlStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -60,9 +63,17 @@ object GraftExtensions {
       s"argument $name must be an integer literal, got $other")
   }
 
-  /** Imperative registration into an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration into an existing session (idempotent):
+    * SQL functions plus the DML planner strategy (extraStrategies run
+    * before built-ins, so UPDATE/MERGE on graft tables plan here instead
+    * of hitting UNSUPPORTED_FEATURE.TABLE_OPERATION).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, info(name), builder)
     }
+    val dml = org.apache.spark.sql.graftdml.GraftDmlStrategy
+    if (!spark.experimental.extraStrategies.contains(dml))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ dml
+  }
 }

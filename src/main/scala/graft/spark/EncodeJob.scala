@@ -502,13 +502,20 @@ object EncodeJob {
     * tables (GraftTable's SupportsDeleteV2).
     */
   def deleteWhere(spark: SparkSession, outDir: String, condition: Column,
-                  targetPartitions: Int): Int =
-    rewriteBatches(spark, outDir, targetPartitions, keyColumn = None, batches = None,
+                  targetPartitions: Int): Int = {
+    // selective rewrite: only batches whose chunk stats admit matching
+    // rows are decoded + re-encoded; the rest stay visible untouched. A
+    // one-row delete on a 100 TB table must not rewrite 100 TB.
+    val affected = affectedBatches(spark, outDir, condition)
+    if (affected.isEmpty) return -1 // provably nothing to delete: no-op
+    rewriteBatches(spark, outDir, targetPartitions, keyColumn = None,
+      batches = Some(affected),
       compression = None, sortColumns = Nil, zorderColumns = Nil,
       // SQL DELETE semantics: drop rows where the condition is TRUE —
       // rows where it evaluates NULL are KEPT (a bare !condition would
       // filter them out)
       transform = _.filter(!coalesce(condition, lit(false))))
+  }
 
   /** Row-level UPDATE as a rewrite: rows where `condition` is TRUE get
     * each assignment applied; all other rows (including condition-NULL,
@@ -526,7 +533,12 @@ object EncodeJob {
       require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
         s"updateWhere: no column $c in ${schema.fieldNames.mkString(",")}")
     }
-    rewriteBatches(spark, outDir, targetPartitions, keyColumn = None, batches = None,
+    // selective like deleteWhere: batches that provably hold no matching
+    // row pass through untouched (their rows would be identity-rewritten)
+    val affected = affectedBatches(spark, outDir, condition)
+    if (affected.isEmpty) return -1 // provably nothing to update: no-op
+    rewriteBatches(spark, outDir, targetPartitions, keyColumn = None,
+      batches = Some(affected),
       compression = None, sortColumns = Nil, zorderColumns = Nil,
       transform = df => {
         val hit = coalesce(condition, lit(false))
@@ -535,6 +547,85 @@ object EncodeJob {
           d.withColumn(field.name, when(hit, v.cast(field.dataType)).otherwise(col(field.name)))
         }
       })
+  }
+
+  /** Replace EVERY visible batch with the given result DataFrame in one
+    * atomic swap — the engine under SQL MERGE INTO (the merged result is
+    * computed over the live table while the old batches stay visible;
+    * the compaction record is the commit). Layout/codec/compression are
+    * inherited from the dir like every other rewrite.
+    */
+  private[graft] def rewriteVisibleWith(spark: SparkSession, outDir: String,
+                                        targetPartitions: Int, result: DataFrame): Int =
+    rewriteBatches(spark, outDir, targetPartitions, keyColumn = None, batches = None,
+      compression = None, sortColumns = Nil, zorderColumns = Nil, transform = _ => result)
+
+  /** Batches that can possibly hold rows matching `condition` — the DML
+    * pruning pass. The condition is resolved by NAME against the table
+    * schema, split into conjuncts, translated to V1 filters, and run
+    * through the same ChunkPrune stat logic the scan's file pruning
+    * uses, evaluated distributedly over the filestats sidecar. Every
+    * step is conservative: untranslatable conjuncts contribute no
+    * pruning, batches without sidecar coverage (or missing a predicate
+    * column — schema evolution) count as affected, and an unresolvable
+    * condition returns every visible batch.
+    */
+  private[graft] def affectedBatches(spark: SparkSession, outDir: String,
+                                     condition: Column): Set[Int] = {
+    val visible = committedBatches(spark, outDir)
+    if (visible.isEmpty) return visible
+    val schema = schemaFromDisk(spark, outDir).getOrElse(return visible)
+    val specs = specsFromDisk(spark, outDir).getOrElse(return visible)
+    val resolved =
+      try {
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        empty.filter(condition).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val preds = resolved.toSeq.flatMap(conjuncts)
+      .flatMap(e => org.apache.spark.sql.graftbridge.Bridge.translateV1Filter(e))
+      .flatMap(f => graft.spark.source.ChunkPrune.from(f, specs))
+    batchesPossiblyMatching(spark, outDir, preds, visible)
+  }
+
+  private def batchesPossiblyMatching(spark: SparkSession, outDir: String,
+                                      preds: Seq[graft.spark.source.ChunkPrune],
+                                      visible: Set[Int]): Set[Int] = {
+    import org.apache.spark.sql.functions.{countDistinct, min}
+    if (preds.isEmpty) return visible
+    val dir = new org.apache.hadoop.fs.Path(filestatsDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return visible
+    val present = fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case n if n.startsWith("batch=") => n.stripPrefix("batch=").toInt
+    }.toSet
+    val covered = visible intersect present
+    if (covered.isEmpty) return visible
+    val raw = spark.read.parquet(dir.toString)
+    val rows = (if (raw.columns.contains("nan_count")) raw
+                else raw.withColumn("nan_count", lit(null).cast("int")))
+      .filter(col("batch").isin(covered.toSeq: _*) &&
+        col("column").isin(preds.map(_.column).distinct: _*))
+    // chunk-level keep decided ACROSS predicate columns (same shape as
+    // the scan's fileKeep); a chunk missing rows for some predicate
+    // column — older schema — keeps conservatively (nc < #pred columns)
+    val predColCount = preds.map(_.column).distinct.size
+    val agg = rows.withColumn("k", preds.map(_.keepColumn).reduce(_ && _))
+      .groupBy(col("batch"), col("part_id"), col("chunk_id"))
+      .agg(min(col("k")).as("ck"), countDistinct(col("column")).as("nc"))
+    val matching = agg.filter(col("ck") || col("nc") < lit(predColCount))
+      .select("batch").distinct().collect().map(_.getInt(0)).toSet
+    // batches whose sidecar holds NO rows for any predicate column (the
+    // columns predate them entirely) never reach `agg` — conservative
+    val anyRow = rows.select("batch").distinct().collect().map(_.getInt(0)).toSet
+    matching ++ (covered -- anyRow) ++ (visible -- covered)
   }
 
   private def rewriteBatches(spark: SparkSession, outDir: String, targetPartitions: Int,

@@ -141,6 +141,16 @@ final class GraftTable(outDir: String, logicalSchema: StructType,
   }
   override def name(): String = s"graft:$outDir"
   override def schema(): StructType = logicalSchema
+  /** Table root on disk — the DML strategy resolves the rewrite target
+    * through this.
+    */
+  def dir: String = outDir
+  /** Rewrite parallelism for DML on this table, honoring persisted
+    * TBLPROPERTIES (numPartitions etc.) exactly like INSERT does.
+    */
+  private[source] def dmlPartitions(spark: SparkSession): Int =
+    GraftWriteSupport.configFrom(outDir, merged(CaseInsensitiveStringMap.empty()),
+      spark).numPartitions
   override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

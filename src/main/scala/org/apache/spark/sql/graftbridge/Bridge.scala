@@ -41,6 +41,26 @@ object Bridge {
       : Array[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(ps)
 
+  /** DataFrame over an already-analyzed logical plan, preserving its
+    * expression ids — the DML interception path composes resolved
+    * UPDATE/MERGE expressions over the very plans they were resolved
+    * against. `Dataset.ofRows` is private[sql].
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Catalyst predicate → V1 source Filter (None = untranslatable; the
+    * caller treats it as unprunable, never as unmatchable). Drives
+    * batch-level DML pruning through the same ChunkPrune machinery the
+    * scan uses. `DataSourceStrategy` is private[sql].
+    */
+  def translateV1Filter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Drain the listener bus so SparkListener-collected metrics (e.g.
     * bytes-read assertions in tests) are complete before reading them.
     * `listenerBus.waitUntilEmpty` is private[spark]; this is the same

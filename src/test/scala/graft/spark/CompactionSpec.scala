@@ -170,6 +170,43 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DML rewrites are selective: only batches whose stats admit the condition rewrite") {
+    val o = s"$tmp/selective"
+    frame(0, 1000).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    frame(1000, 2000).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+    frame(2000, 3000).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+
+    // a one-row delete must rewrite ONLY the batch whose id range admits
+    // the key — at 100 TB this is the difference between rewriting one
+    // batch and rewriting the table
+    val nb = EncodeJob.deleteWhere(spark, o, col("id") === 1500L, targetPartitions = 2)
+    val rec = EncodeJob.compactions(spark, o).last
+    assert(rec.batch == nb && rec.replaces == Seq(1),
+      s"expected only batch 1 rewritten, got replaces=${rec.replaces}")
+    assert(EncodeJob.committedBatches(spark, o) == Set(0, 2, nb))
+    val left = spark.read.format("graft").load(o)
+    assert(left.count() == 2999 && left.filter(col("id") === 1500L).count() == 0)
+
+    // selective update: only the batch containing id=100
+    EncodeJob.updateWhere(spark, o, col("id") === 100L, Map("v" -> lit(-5.0)),
+      targetPartitions = 2)
+    val rec2 = EncodeJob.compactions(spark, o).last
+    assert(rec2.replaces == Seq(0), s"expected only batch 0 rewritten, got ${rec2.replaces}")
+    val after = spark.read.format("graft").load(o)
+    assert(after.count() == 2999 && after.filter(col("v") === -5.0).count() == 1)
+
+    // provably-no-match DML is a NO-OP: no record, no new batch, no data change
+    val records = EncodeJob.compactions(spark, o).size
+    assert(EncodeJob.deleteWhere(spark, o, col("id") === -99L, 2) == -1)
+    assert(EncodeJob.updateWhere(spark, o, col("id") === 99999L, Map("v" -> lit(0.0)), 2) == -1)
+    assert(EncodeJob.compactions(spark, o).size == records)
+    assert(spark.read.format("graft").load(o).count() == 2999)
+
+    // untranslatable conditions stay correct (conservative full coverage)
+    EncodeJob.deleteWhere(spark, o, col("id") % 977 === 3, targetPartitions = 2)
+    assert(spark.read.format("graft").load(o).count() == 2999 - 4) // 3, 980, 1957, 2934
+  }
+
   test("vacuum reclaims crashed-write orphan batch dirs") {
     val o = s"$tmp/orphan"
     frame(0, 300).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)

@@ -117,6 +117,69 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.del.t").first().getLong(0) == 0)
   }
 
+  test("SQL UPDATE: routed through GraftDmlStrategy, atomic, time-travel keeps history") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.upd")
+    spark.sql("CREATE TABLE graft.upd.t (id BIGINT, s STRING, v DOUBLE) USING graft " +
+      "TBLPROPERTIES ('numPartitions'='2')")
+    spark.sql("INSERT INTO graft.upd.t SELECT id, concat('s', id), id * 0.5 FROM range(500)")
+    spark.sql("UPDATE graft.upd.t SET v = v * 2, s = concat(s, '+') WHERE id >= 400")
+    assert(spark.sql("SELECT count(*) FROM graft.upd.t").first().getLong(0) == 500)
+    assert(spark.sql("SELECT count(*) FROM graft.upd.t WHERE s LIKE '%+'").first().getLong(0) == 100)
+    assert(spark.sql("SELECT v FROM graft.upd.t WHERE id = 450").first().getDouble(0) == 450.0)
+    assert(spark.sql("SELECT v FROM graft.upd.t WHERE id = 10").first().getDouble(0) == 5.0)
+    // unconditioned UPDATE touches every row
+    spark.sql("UPDATE graft.upd.t SET v = 0")
+    assert(spark.sql("SELECT sum(v) FROM graft.upd.t").first().getDouble(0) == 0.0)
+    // history intact until vacuum
+    assert(spark.sql("SELECT count(*) FROM graft.upd.t VERSION AS OF 0 WHERE v > 0")
+      .first().getLong(0) > 0)
+  }
+
+  test("SQL MERGE INTO: matched update/delete, conditional insert, not-matched-by-source") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mrg")
+    spark.sql("CREATE TABLE graft.mrg.t (id BIGINT, s STRING, v BIGINT) USING graft " +
+      "TBLPROPERTIES ('numPartitions'='2')")
+    spark.sql("INSERT INTO graft.mrg.t SELECT id, concat('s', id), id FROM range(10)")
+
+    spark.sql(
+      """MERGE INTO graft.mrg.t t
+        |USING (SELECT * FROM VALUES (8L, 800L), (9L, -1L), (20L, 2000L), (21L, 5L) AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED AND s.v > 100 THEN INSERT (id, s, v) VALUES (s.id, 'new', s.v)
+        |""".stripMargin)
+    val rows = spark.sql("SELECT id, s, v FROM graft.mrg.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!rows.exists(_._1 == 9L), "matched DELETE must remove id=9")
+    assert(rows.find(_._1 == 8L).get._3 == 800L, "matched UPDATE must rewrite id=8")
+    assert(rows.find(_._1 == 20L).contains((20L, "new", 2000L)), "conditional INSERT")
+    assert(!rows.exists(_._1 == 21L), "insert condition must filter id=21")
+    assert(rows.count(r => r._1 < 8) == 8, "unmatched target rows pass through")
+
+    // NOT MATCHED BY SOURCE
+    spark.sql(
+      """MERGE INTO graft.mrg.t t USING (SELECT 20L AS id) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.s = 'kept'
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 7 THEN DELETE
+        |""".stripMargin)
+    val after = spark.sql("SELECT id FROM graft.mrg.t ORDER BY id").collect().map(_.getLong(0))
+    assert(after.toSeq == (0L to 6L) :+ 20L, after.mkString(","))
+    assert(spark.sql("SELECT s FROM graft.mrg.t WHERE id = 20").first().getString(0) == "kept")
+
+    // cardinality violation: one target row matching two source rows errors
+    val err = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.mrg.t t USING (SELECT * FROM VALUES (1L), (1L) AS s(id)) s
+          |ON t.id = s.id WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(err.getMessage.contains("cardinality"), err.getMessage)
+    // and the failed MERGE must not have changed the table
+    assert(spark.sql("SELECT count(*) FROM graft.mrg.t").first().getLong(0) == 8)
+  }
+
   test("aggregate pushdown works through the catalog (metadata-only)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
     spark.sql("CREATE TABLE graft.agg.t (k BIGINT, v DOUBLE) USING graft TBLPROPERTIES ('numPartitions'='2')")
