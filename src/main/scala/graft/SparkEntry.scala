@@ -490,10 +490,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_ann_cosine" -> ((s, dir) => {
-      val emb = read(s, dir, "embeddings")
+      // the corpus comes from a GRAFT table, not parquet: float vectors
+      // are first-class graft columns (fvec — IEEE-LE payload on the
+      // binary codec), so the ANN path runs off the engine's own format
+      val out = java.nio.file.Files.createTempDirectory("graft-emb").toString
+      read(s, dir, "embeddings").write.format("graft").mode("overwrite")
+        .option("numPartitions", "4").save(out)
+      val emb = s.read.format("graft").load(out)
       val queries = emb.orderBy("vec_id").limit(5)
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
+    }),
+    // float-vector round trip: embeddings written to a graft table and
+    // read back exactly (row nulls via PRESENT, per-row dims via LENGTH)
+    "rt_embeddings" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-rtemb").toString
+      read(s, dir, "embeddings").write.format("graft").mode("overwrite")
+        .option("numPartitions", "4").save(out)
+      s.read.format("graft").load(out)
+        .select("vec_id", "embedding", "label").orderBy("vec_id")
     }),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
@@ -913,6 +928,7 @@ object SparkEntry {
         |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
         |    + (1.0 - least(upper_ratio * 2.0, 1.0)) * 0.1, 4) AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
+    "rt_embeddings" -> "SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id",
     "q_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -59,6 +59,11 @@ object TableEncoder {
         case DateType                                      => "date"
         case d: DecimalType if d.precision <= 18           => "decimal"
         case d: DecimalType if d.precision <= 38           => "decimal128"
+        // float vectors (embeddings): shredded to IEEE-LE bytes, encoded
+        // by the binary codec (DATA+LENGTH+PRESENT). The reference
+        // descopes List types (StripeWriter.cs:321); this is the
+        // LLM-pipeline extension that makes embeddings first-class.
+        case ArrayType(FloatType, _)                       => "fvec"
         case dt => throw new IllegalArgumentException(s"unsupported column type for ${f.name}: $dt")
       }
       val narrow = f.dataType match {
@@ -89,6 +94,8 @@ object TableEncoder {
           // encode closure never materializes a UTF-16 String (the
           // dominant allocation of the old hot path)
           col(s.name).cast(BinaryType).as(s.name)
+        case "fvec" =>
+          graft.plans.FloatVecToBytes(col(s.name)).as(s.name)
         case _           => col(s.name)
       }
     }
@@ -110,6 +117,7 @@ object TableEncoder {
           (col(s.name).cast(DecimalType(38, 0)) / lit(java.math.BigDecimal.TEN.pow(sc)))
             .cast(DecimalType(p0, sc)).as(s.name)
         case "string"    => col(s.name).cast(StringType).as(s.name)
+        case "fvec"      => graft.plans.BytesToFloatVec(col(s.name)).as(s.name)
         case _           => col(s.name)
       }
     }
@@ -627,7 +635,7 @@ object TableEncoder {
     case "bool"             => new BoolColBuf(indexStride)
     case "double"           => new DoubleColBuf(indexStride)
     case "float"            => new FloatColBuf(indexStride)
-    case "binary"           => new BinaryColBuf
+    case "binary" | "fvec"  => new BinaryColBuf
     case "string"           => new StringColBuf(spec.stringCodec, indexStride)
     case other              => throw new IllegalArgumentException(other)
   }
@@ -641,7 +649,7 @@ object TableEncoder {
     case "bool"      => Codecs.Bool
     case "double"    => Codecs.DoubleRaw
     case "float"     => Codecs.FloatRaw
-    case "binary"    => Codecs.Binary
+    case "binary" | "fvec" => Codecs.Binary
     case "string"    => spec.stringCodec
   }
 
@@ -1132,7 +1140,7 @@ object TableEncoder {
         case "bool"                        => BooleanType
         case "double"                      => DoubleType
         case "float"                       => FloatType
-        case "binary" | "string"           => BinaryType
+        case "binary" | "string" | "fvec"  => BinaryType
       }
       StructField(s.name, dt, nullable = true)
     })
@@ -1176,7 +1184,7 @@ object TableEncoder {
     case "bool"      => val (v, p) = ColumnCodec.decodeBool(cs); BoolsD(v, p)
     case "double"    => val (v, p) = ColumnCodec.decodeDouble(cs); DoublesD(v, p)
     case "float"     => val (v, p) = ColumnCodec.decodeFloat(cs); FloatsD(v, p)
-    case "binary"    => val (v, p) = ColumnCodec.decodeBinarySlices(cs); SlicesD(v, p)
+    case "binary" | "fvec" => val (v, p) = ColumnCodec.decodeBinarySlices(cs); SlicesD(v, p)
     case "string"    => val (v, p) = ColumnCodec.decodeStrSlices(cs); SlicesD(v, p)
   }
 

@@ -1345,6 +1345,8 @@ final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnS
         case "bool"   => bound(org.apache.spark.sql.types.BooleanType)
         case "double" => bound(org.apache.spark.sql.types.DoubleType)
         case "float"  => bound(org.apache.spark.sql.types.FloatType)
+        case "fvec"   => // IEEE-LE payload → array<float>, codegen'd
+          graft.plans.BytesToFloatVec(bound(org.apache.spark.sql.types.BinaryType))
         case _        => bound(org.apache.spark.sql.types.BinaryType)
       }
     }.toSeq

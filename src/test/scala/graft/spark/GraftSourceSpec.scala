@@ -373,6 +373,44 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"$got vs $want")
   }
 
+  test("format(graft): float-vector columns round trip (nulls, varying dims, specials)") {
+    // fvec = array<float> shredded to IEEE-LE bytes on the binary codec:
+    // row nulls via PRESENT, per-row dims via LENGTH, NaN/Inf/-0.0
+    // bit-exact through the raw payload
+    val rows = Seq(
+      (1L, Some(Array(1.0f, -2.5f, Float.NaN)), "a"),
+      (2L, None, "b"),
+      (3L, Some(Array.empty[Float]), "c"),
+      (4L, Some(Array(Float.PositiveInfinity, -0.0f, Float.MinPositiveValue, 3.14f, 9f)), "d"),
+      (5L, Some(Array.tabulate(64)(i => i * 0.25f)), "e"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2))
+      .toDF("id", "vec", "tag")
+    val out = s"$tmp/fvec"
+    df.write.format("graft").mode("overwrite").option("numPartitions", "2").save(out)
+    val back = spark.read.format("graft").load(out)
+    assert(back.schema("vec").dataType == df.schema("vec").dataType,
+      s"${back.schema("vec")} vs ${df.schema("vec")}")
+    def canonV(d: DataFrame): Array[String] =
+      d.select(col("id"), col("tag"),
+        when(col("vec").isNull, lit("NULL"))
+          .otherwise(concat_ws(",", transform(col("vec"),
+            f => base64(graft.plans.FloatVecToBytes(array(f)))))).as("v"))
+        .collect().map(_.toString).sorted
+    assert(canonV(back) sameElements canonV(df))
+    // readBack (non-DSv2 surface) agrees
+    val rb = EncodeJob.readBack(spark, out)
+    assert(canonV(rb) sameElements canonV(df))
+    // column pruning still serves the sibling columns without the payload
+    assert(back.select("id", "tag").count() == 5)
+    // null ELEMENTS are rejected loudly at write, not silently mangled
+    val bad = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, Array(Some(1.0f), None)))),
+      ).toDF("id", "vec")
+    intercept[Exception] {
+      bad.write.format("graft").mode("overwrite").save(s"$tmp/fvec-bad")
+    }
+  }
+
   test("format(graft): scans plan from sidecar metadata — the chunk tree is never listed") {
     // multi-batch dir (append twice), both layouts of query: plan
     // partitions, push a filter, run a metadata aggregate and a count —
