@@ -184,22 +184,32 @@ object Bench {
     val qnames = SparkEntry.queries.toSeq.sortBy(_._1)
     val qbest = scala.collection.mutable.Map[String, Double]()  // successful passes only
     val qfail = scala.collection.mutable.Map[String, Double]()  // fallback when no pass succeeds
+    val qgate = scala.collection.mutable.Map[String, Double]()  // in-query GATE time of the best pass
     (1 to 2).foreach { _ =>
       qnames.foreach { case (name, fn) =>
+        // engine vs gate split: the self-verification gates (exact
+        // baselines, control experiments) bill SparkEntry.gateNanos, so
+        // the per-query number measures the ENGINE, not its test harness
+        val g0 = SparkEntry.gateNanos.get()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val gate = (SparkEntry.gateNanos.get() - g0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9 - gate
         // a fast FAILED pass must never undercut a real measurement —
         // min only over successes; failures recorded separately so an
         // always-failing query still reports a number (like the old
         // single-pass behavior) rather than crashing the artifact
-        if (ok) qbest(name) = math.min(qbest.getOrElse(name, Double.MaxValue), sec)
-        else qfail(name) = math.min(qfail.getOrElse(name, Double.MaxValue), sec)
+        if (ok && sec < qbest.getOrElse(name, Double.MaxValue)) {
+          qbest(name) = sec
+          if (gate > 0.0005) qgate(name) = gate
+        }
+        if (!ok) qfail(name) = math.min(qfail.getOrElse(name, Double.MaxValue), sec + gate)
       }
     }
     val results = qnames.map { case (name, _) =>
       name -> qbest.getOrElse(name, qfail(name))
     }
+    val gateResults = qnames.flatMap { case (name, _) => qgate.get(name).map(name -> _) }
 
     spark.stop()
 
@@ -375,7 +385,9 @@ object Bench {
       else 1.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val gates = gateResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val gateTotal = gateResults.map(_._2).sum
     val perLevel = levels.map { l =>
       val (g, p, steal) = best(l)
       val encSec = math.max(0.001, p - g)
@@ -408,6 +420,6 @@ object Bench {
         f""""decode_gbps${math.max(1, cpus / 4)}%d_1m":${bigRawBytes / 1e9 / math.max(0.001, bigDecSecQ)}%.3f,""" +
         f""""decode_scaling_${math.max(1, cpus / 4)}%d_${cpus}%d_1m":$bigDecEff%.3f}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode":$encodeJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gates":$gates,"gate_total_sec":$gateTotal%.3f,"sf":"$sfDir","encode":$encodeJson}""")
   }
 }

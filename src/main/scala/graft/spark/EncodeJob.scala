@@ -3,7 +3,7 @@ package graft.spark
 import graft.columns.CodecSelector
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** The distributed encode pipeline:
   *
@@ -70,6 +70,11 @@ object EncodeJob {
       // Clustering only — no ordering claim is ever advertised for it.
       // Mutually exclusive with sortColumns.
       zorderColumns: Seq[String] = Nil,
+      // pre-computed Z-order rescale bounds (key-bit [lo, hi] per
+      // zorderColumn): set by compact/rewrite from the chunk manifest's
+      // min/max stats so the bounds pass is metadata-only instead of a
+      // second decode of the input. None = sample the input.
+      zorderBoundsHint: Option[Seq[(Long, Long)]] = None,
       // the reference's EncodingStrategy knob (WriterConfiguration.cs:49):
       // aligned=true restricts RLEv2 DIRECT/PATCHED widths to the
       // CPU-friendly table (Speed), trading a little size for decode speed
@@ -662,7 +667,13 @@ object EncodeJob {
     val cfg = Config(outDir, numPartitions = targetPartitions, keyColumn = keyColumn,
       compression = inheritedCompression, segmented = segmented,
       bloomColumns = bloomCols, partitionByColumn = isColumnPartitioned(spark, outDir),
-      sortColumns = effectiveSort, zorderColumns = zorderColumns)
+      sortColumns = effectiveSort, zorderColumns = zorderColumns,
+      // rewrite-with-zorder: rescale bounds come from the chunk
+      // manifest's min/max stats (metadata-only) instead of a second
+      // decode of the input for a sampling pass
+      zorderBoundsHint =
+        if (zorderColumns.isEmpty) None
+        else zorderBoundsFromStats(chunkMeta, schema, zorderColumns))
 
     val (newBatch, partOffset) = nextBatchAndPart(spark, outDir)
     val df = transform(decodeBatches(spark, outDir, toCompact, schema))
@@ -786,8 +797,52 @@ object EncodeJob {
     * min/max stats instead would make it metadata-only; acceptable today
     * because compaction is already a full rewrite.
     */
+  /** Count of SAMPLING bounds passes (test instrumentation: a compact
+    * with chunk-stat coverage must stay metadata-only).
+    */
+  private[graft] val zorderSamplingScans = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Z-order rescale bounds from the CHUNK STATS of the batches being
+    * rewritten — a tiny metadata aggregate instead of re-decoding the
+    * input for a sampling pass. None (→ sampling fallback) when a z
+    * column's type has no numeric stat space or its stats are absent
+    * (all-null column, pre-stats dir). Bounds only shape clustering
+    * quality, never correctness, so the fallback is always safe.
+    */
+  private def zorderBoundsFromStats(chunkMeta: DataFrame, schema: StructType,
+                                    zcols: Seq[String]): Option[Seq[(Long, Long)]] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val out = zcols.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(return None)
+      val castT = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => "bigint"
+        case DoubleType | FloatType                        => "double"
+        case _                                             => return None
+      }
+      val r = chunkMeta
+        .filter(col("column") === f.name && col("min_val").isNotNull && col("max_val").isNotNull)
+        .agg(min(col("min_val").try_cast(castT)), max(col("max_val").try_cast(castT)))
+        .collect()(0)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      def bits(v: Any): Long = {
+        val typed: Any = (f.dataType, v) match {
+          case (IntegerType, l: Long) => l.toInt
+          case (ShortType, l: Long)   => l.toShort
+          case (ByteType, l: Long)    => l.toByte
+          case (FloatType, d: Double) => d.toFloat
+          case _                      => v
+        }
+        graft.plans.ZOrderKey.bitsOfExternal(typed, f.dataType)
+      }
+      (bits(r.get(0)), bits(r.get(1)))
+    }
+    Some(out)
+  }
+
   private def zorderBounds(df: DataFrame, cfg: Config): Seq[(Long, Long)] = {
     import org.apache.spark.sql.functions.{max, min}
+    cfg.zorderBoundsHint match { case Some(b) => return b; case None => }
+    zorderSamplingScans.incrementAndGet()
     val zcols = cfg.zorderColumns
     val aggs = zcols.flatMap(c => Seq(min(col(c)), max(col(c))))
     def minMaxOf(src: DataFrame) =

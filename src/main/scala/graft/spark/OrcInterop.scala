@@ -437,6 +437,12 @@ object OrcInterop {
     val schema = schemaOf(footer)
     val stripes = footer.getStripesList
     val in = fs.open(p)
+    // a partially-consumed iterator (df.limit/take) never reaches the
+    // drained-close below — close on task completion so no task leaks a
+    // file handle (no-op off-executor, e.g. in driver-side tests)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ =>
+        try in.close() catch { case _: java.io.IOException => () }))
     var si = 0
     new Iterator[Row] {
       private var current: Iterator[Row] = Iterator.empty
@@ -445,7 +451,8 @@ object OrcInterop {
           current = readStripe(in, stripes.get(si), footer, ps, schema)
           si += 1
         }
-        if (!current.hasNext && si >= stripes.size()) in.close()
+        if (!current.hasNext && si >= stripes.size())
+          try in.close() catch { case _: java.io.IOException => () }
       }
       def hasNext: Boolean = { advance(); current.hasNext }
       def next(): Row = { advance(); current.next() }

@@ -892,20 +892,40 @@ object TableEncoder {
       val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(sp.length)
       new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
         private var pending: Iterator[org.apache.spark.sql.catalyst.InternalRow] = Iterator.empty
+        private var lookahead: EncodedChunk = null
+        // a group boundary ends at the next (part_id, chunk_id) OR at a
+        // repeated column, NOT at a fixed column count: batches older
+        // than an ALTER ADD COLUMN carry fewer columns (the decode
+        // null-fills them), and raw TableEncoder.encode output can carry
+        // DUPLICATE keys across input partitions (EncodeJob offsets
+        // part_ids; bare encode does not) — a repeated column starts the
+        // next duplicate. A key that reappears with a DIFFERENT column
+        // set is a split/interleaved group — fail loudly, never emit
+        // wrongly-null-filled halves.
+        private val seenCols = new java.util.HashMap[Long, Set[String]]()
         private def fill(): Unit = {
-          while (!pending.hasNext && it.hasNext) {
+          while (!pending.hasNext && (lookahead != null || it.hasNext)) {
             val group = scala.collection.mutable.Map[String, EncodedChunk]()
-            val first = it.next()
+            val first = if (lookahead != null) { val f = lookahead; lookahead = null; f }
+                        else it.next()
             group(first.column) = first
-            while (group.size < sp.length) {
-              require(it.hasNext,
-                s"chunk (${first.part_id},${first.chunk_id}) split across partitions — " +
-                  "read with readBackColocated or use decode()")
+            var done = false
+            while (!done && it.hasNext) {
               val c = it.next()
-              require(c.part_id == first.part_id && c.chunk_id == first.chunk_id,
-                s"interleaved chunk groups: (${first.part_id},${first.chunk_id}) vs (${c.part_id},${c.chunk_id})")
-              group(c.column) = c
+              if (c.part_id == first.part_id && c.chunk_id == first.chunk_id &&
+                  !group.contains(c.column)) group(c.column) = c
+              else { lookahead = c; done = true }
             }
+            val key = (first.part_id.toLong << 32) | (first.chunk_id.toLong & 0xffffffffL)
+            val cols = group.keySet.toSet
+            val prev = seenCols.put(key, cols)
+            require(prev == null || prev == cols,
+              s"split/interleaved chunk group (${first.part_id},${first.chunk_id}): " +
+                s"saw columns {${cols.mkString(",")}} after {${prev.mkString(",")}} — " +
+                "read with readBackColocated or use decode()")
+            require(group.size <= sp.length,
+              s"chunk (${first.part_id},${first.chunk_id}) has ${group.size} column rows, " +
+                s"expected at most ${sp.length}")
             pending = decodeChunkInternalRows(group.toMap, sp, writer, stridePrune.toSeq)
           }
         }
@@ -931,8 +951,10 @@ object TableEncoder {
       val sp = specsB.value
       val writer = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(sp.length)
       it.flatMap { group =>
-        require(group.length == sp.length,
-          s"chunk group has ${group.length} column rows, expected ${sp.length}")
+        // fewer rows than specs = columns added by a later ALTER (the
+        // decode null-fills them); more is corruption
+        require(group.length <= sp.length,
+          s"chunk group has ${group.length} column rows, expected at most ${sp.length}")
         decodeChunkInternalRows(group.iterator.map(c => c.column -> c).toMap, sp, writer, Seq.empty)
       }
     }
@@ -1271,6 +1293,56 @@ object TableEncoder {
     if (keep == null) null else (keep, strideN)
   }
 
+  /** Synthetic all-null chunk for a column ABSENT from a chunk group —
+    * the read-side half of `ALTER TABLE ADD COLUMN`: batches written
+    * before the column existed serve typed nulls for it. Shape-matched
+    * to the group's template chunk (segmented iff it is, same stride
+    * grid) so both decode paths treat it like any written column; the
+    * payload is a PRESENT stream of all-false bits plus empty value
+    * streams, uncompressed. The reference reader's ignoreMissingColumns
+    * tolerance (OrcReader.cs:49-64) applied per batch.
+    */
+  private def allNullChunk(template: EncodedChunk, spec: ColumnSpec): EncodedChunk = {
+    val rows = template.row_count
+    def presentBytes(n: Int): Array[Byte] = {
+      val buf = new graft.core.ByteBuf(64)
+      graft.core.BitCodec.write(buf, new Array[Boolean](n))
+      buf.toArray
+    }
+    // direct string codec: a dict codec would make the decoder look for
+    // dictionary streams this chunk doesn't carry
+    val codec = spec.logical match {
+      case "string" => Codecs.StringDirect
+      case _        => codecName(spec)
+    }
+    val emptyKinds = Seq(Streams.Data, Streams.Length, Streams.Secondary)
+    val segmented = template.seg_lens.isDefined &&
+      template.stride_null_counts.isDefined && template.stride_rows > 0
+    if (segmented) {
+      val strideN = template.stride_rows
+      val nStrides = template.stride_null_counts.get.size
+      val segs = Array.tabulate(nStrides)(s =>
+        presentBytes(math.min(strideN, rows - s * strideN)))
+      EncodedChunk(template.part_id, template.chunk_id, template.first_row, spec.name,
+        codec, rows, rows,
+        streams = (emptyKinds.map(_ -> Array.emptyByteArray) :+
+          (Streams.Present -> segs.flatten)).toMap,
+        raw_bytes = 0L, encoded_bytes = 0L, min_val = None, max_val = None, sum_val = None,
+        stride_rows = strideN,
+        compression = Some(graft.core.BlockCompression.None_),
+        seg_lens = Some((emptyKinds.map(_ -> Seq.fill(nStrides)(0)) :+
+          (Streams.Present -> segs.map(_.length).toSeq)).toMap),
+        stride_null_counts = Some(Seq.tabulate(nStrides)(s =>
+          math.min(strideN, rows - s * strideN))))
+    } else
+      EncodedChunk(template.part_id, template.chunk_id, template.first_row, spec.name,
+        codec, rows, rows,
+        streams = (emptyKinds.map(_ -> Array.emptyByteArray) :+
+          (Streams.Present -> presentBytes(rows))).toMap,
+        raw_bytes = 0L, encoded_bytes = 0L, min_val = None, max_val = None, sum_val = None,
+        compression = Some(graft.core.BlockCompression.None_))
+  }
+
   /** Decode one chunk's columns and emit UnsafeRows through a reused
     * writer. The returned rows alias the writer's buffer — consume each
     * before calling next() (the contract of every columnar scan in Spark;
@@ -1284,16 +1356,26 @@ object TableEncoder {
       stridePrunes: Seq[StridePrune] = Seq.empty)
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val nCols = specs.length
+    // schema evolution: columns the group lacks (batches older than an
+    // ALTER ADD COLUMN) decode as typed nulls via a synthetic chunk
+    val byColFull =
+      if (specs.forall(s => byCol.contains(s.name))) byCol
+      else {
+        require(byCol.nonEmpty, "empty chunk group")
+        val template = byCol.valuesIterator.next()
+        byCol ++ specs.iterator.filterNot(s => byCol.contains(s.name))
+          .map(s => s.name -> allNullChunk(template, s))
+      }
     if (specs.forall { s =>
-      val c = byCol(s.name)
+      val c = byColFull(s.name)
       c.seg_lens.isDefined && c.stride_null_counts.isDefined && c.stride_rows > 0
-    }) return decodeSegmentedInternalRows(byCol, specs, writer, stridePrunes)
+    }) return decodeSegmentedInternalRows(byColFull, specs, writer, stridePrunes)
 
     val cols = new Array[Decoded](nCols)
     var rowCount = -1
     var i = 0
     while (i < nCols) {
-      val chunk = byCol(specs(i).name)
+      val chunk = byColFull(specs(i).name)
       if (rowCount < 0) rowCount = chunk.row_count
       require(chunk.row_count == rowCount, s"chunk row_count mismatch on ${specs(i).name}")
       val kind = chunk.compression.getOrElse(graft.core.BlockCompression.Zlib)
@@ -1309,7 +1391,7 @@ object TableEncoder {
     // built, nothing emitted downstream) — the reference's RowIndex
     // purpose, which its own reader never exploits. (Whole-stream chunks
     // still pay the decode; segmented chunks skip that too.)
-    val sk = strideKeepFor(byCol, stridePrunes)
+    val sk = strideKeepFor(byColFull, stridePrunes)
     val strideKeep = if (sk == null) null else sk._1
     val strideN = if (sk == null) 0 else sk._2
     val cursors = new Array[Int](nCols) // next value index per column (non-null stream)

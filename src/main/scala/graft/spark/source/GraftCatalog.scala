@@ -122,9 +122,51 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       tableProps = readProps(dir))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported for graft tables (schema travels with the data)")
+  /** ALTER TABLE: ADD COLUMN (top-level, forced nullable — batches
+    * written before the ALTER serve typed nulls for it; the read side
+    * null-fills per chunk group) and SET/UNSET TBLPROPERTIES. Everything
+    * else (drop/rename/retype a column) would silently strand written
+    * data and is refused loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    var schema = EncodeJob.schemaFromDisk(spark, dir).getOrElse(
+      throw new IllegalStateException(s"table $ident has no schema.json"))
+    val props = new java.util.HashMap[String, String](readProps(dir))
+    var schemaChanged = false
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft schemas are flat — cannot add nested field ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists in $ident")
+        require(add.position() == null,
+          "graft ADD COLUMN appends at the end (FIRST/AFTER would reorder " +
+            "columns under batches already written)")
+        // forced nullable: every already-written row reads NULL for it
+        schema = schema.add(org.apache.spark.sql.types.StructField(
+          name, add.dataType(), nullable = true,
+          if (add.comment() != null)
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("comment", add.comment()).build()
+          else org.apache.spark.sql.types.Metadata.empty))
+        schemaChanged = true
+      case set: TableChange.SetProperty =>
+        props.put(set.property(), set.value())
+      case rm: TableChange.RemoveProperty =>
+        props.remove(rm.property())
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft ALTER TABLE supports ADD COLUMN and [UN]SET TBLPROPERTIES only, got $other " +
+            "(dropping/renaming/retyping a column would strand written data)")
+    }
+    if (schemaChanged) EncodeJob.writeSchemaJson(spark, dir, schema)
+    writeProps(dir, props)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new Path(dirOf(ident))

@@ -243,7 +243,15 @@ object GraftWriteSupport {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     if (overwrite) {
-      fs.delete(path, /* recursive */ true)
+      // delete only the DATA artifacts — catalog.json (persisted
+      // TBLPROPERTIES) must survive an INSERT OVERWRITE, and keeping
+      // schema.json means a crash mid-overwrite leaves an EMPTY table
+      // (no committed batches) rather than a dropped one; EncodeJob.run
+      // rewrites schema.json for the new contents before its commit
+      Seq(EncodeJob.chunkDir(outDir), EncodeJob.manifestDir(outDir),
+        EncodeJob.compactionsDir(outDir), EncodeJob.filestatsDir(outDir),
+        s"$outDir/layout.json")
+        .foreach(p => fs.delete(new Path(p), /* recursive */ true))
       EncodeJob.run(data, cfg)
       return
     }
@@ -531,10 +539,17 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     * vacuum — so a running stream sees compaction as a non-event.
     */
   private[source] def maxStreamBatch: Int =
-    EncodeJob.streamBatches(spark, outDir).foldLeft(-1)(math.max)
+    // include compaction batch ids: a FRESH stream's first range serves
+    // the compacted snapshot, so the offset must cover those ids too
+    // (batch ids commit in increasing order on every path — monotone)
+    (EncodeJob.streamBatches(spark, outDir) ++
+      EncodeJob.committedBatches(spark, outDir)).foldLeft(-1)(math.max)
 
   private[source] def streamVisible: Set[Int] =
     EncodeJob.streamBatches(spark, outDir)
+
+  private[source] def snapshotVisible(asOf: Int): Set[Int] =
+    EncodeJob.committedBatchesAsOf(spark, outDir, asOf)
 
   override def readSchema(): StructType = aggSlots match {
     case Some(slots) => StructType(slots.zipWithIndex.map { case (s, i) =>
@@ -711,7 +726,9 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
       if (sidecar.nonEmpty)
         return sidecar.sorted.map(f =>
           GraftInputPartition(Array(f), Seq.empty): InputPartition).toArray
-      val wanted = specs.map(_.name).toSet
+      // the designated COUNT(*) column's rows must be readable even when
+      // it isn't an emit column (post-ALTER dirs)
+      val wanted = specs.map(_.name).toSet + aggDesignated(committed)
       val parts: Array[InputPartition] =
         if (files.exists(_._2.isDefined))
           files.filter(f => f._2.exists(wanted.contains)).sortBy(_._3)
@@ -720,12 +737,21 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
       return if (parts.nonEmpty) parts
              else Array[InputPartition](GraftInputPartition(Array.empty, Seq.empty))
     }
+    val specNames = specs.map(_.name).toSet
+    // schema-evolution drivers: a batch that wrote NONE of the requested
+    // columns still owes one all-null row per written row — its cheapest
+    // column drives the row count (the decode null-fills the rest)
+    val driverByBatch: Map[Int, String] =
+      files.iterator.map(_._1).toSet.iterator
+        .filter(b => batchLacksAll(b, specNames))
+        .flatMap(b => driverColumnFor(b).map(b -> _)).toMap
     if (files.exists(_._2.isDefined)) {
       // column-partitioned layout: group the per-column files of one
       // writer task (same part-NNNNN file index within a batch) and open
       // ONLY the requested columns' files — scan IO ∝ requested columns
-      val wanted = specs.map(_.name).toSet
-      files.filter(f => f._2.exists(wanted.contains))
+      val wanted = specNames
+      files.filter(f => f._2.exists(c =>
+          wanted.contains(c) || driverByBatch.get(f._1).contains(c)))
         .groupBy(f => (f._1, taskIndexOf(f._3)))
         // whole-GROUP pruning: sidecar chunk-keep is decided across
         // columns, so a pruned predicate-column file means every sibling
@@ -733,23 +759,82 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
         // keeps the zip invariant intact
         .filter { case (_, group) => group.forall(g => kept(g._3)) }
         .toArray.sortBy(_._1)
-        .map { case (_, group) =>
+        .map { case ((b, _), group) =>
           val byCol = group.map(g => g._2.get -> g._3).toMap
-          require(byCol.keySet == wanted,
-            s"column-partitioned layout missing files for ${wanted -- byCol.keySet} — " +
-              "externally rewritten dir? use EncodeJob.readBack")
-          // spec order keeps the zip deterministic
-          GraftInputPartition(specs.map(s => byCol(s.name)), specs.map(_.name).toSeq)
+          require(byCol.keySet.subsetOf(wanted ++ driverByBatch.get(b)),
+            s"column-partitioned group carries unrequested files ${byCol.keySet -- wanted}")
+          // spec order keeps the zip deterministic; columns a batch lacks
+          // (added by a later ALTER) are absent here and null-filled in
+          // the decode. A driver-only group (the batch wrote none of the
+          // requested columns) zips just the driver file.
+          val present = allSpecs.filter(s => byCol.contains(s.name))
+          GraftInputPartition(present.map(s => byCol(s.name)), present.map(_.name).toSeq)
         }
     } else files.toArray.sortBy(_._3).filter(f => kept(f._3))
-      .map(f => GraftInputPartition(Array(f._3), Seq.empty))
+      .map(f => GraftInputPartition(Array(f._3), Seq.empty, driverByBatch.get(f._1)))
   }
 
   private def taskIndexOf(path: String): String = {
-    // part-00007-<uuid>....parquet → 00007 (one file per writer task per
+    // part-00007-<uuid>....parquet → 00005 (one file per writer task per
     // column dir; the shared task index is the alignment key)
     val name = new Path(path).getName
     name.split('-').lift(1).getOrElse(name)
+  }
+
+  private val typeCost = Map("bool" -> 0, "date" -> 1, "long" -> 2, "timestamp" -> 2,
+    "timestamp_ntz" -> 2, "decimal" -> 2, "float" -> 3, "double" -> 4,
+    "decimal128" -> 5, "string" -> 6, "binary" -> 7)
+
+  /** Per-batch written column sets, from the manifest's codec lineage
+    * ("col=CODEC,..." per batch) — batches written before an ALTER TABLE
+    * ADD COLUMN carry fewer columns than the current schema. One tiny
+    * driver-side manifest read per scan instance (the same cost class as
+    * the visibility read); empty map when no manifest exists.
+    */
+  private lazy val batchColumns: Map[Int, Set[String]] = {
+    val p = new Path(EncodeJob.manifestDir(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else spark.read.parquet(p.toString).select("batch_id", "codecs").distinct()
+      .collect().groupBy(_.getInt(0)).map { case (b, rows) =>
+        b -> rows.iterator.map(_.getString(1)).filter(_ != null)
+          .flatMap(_.split(',').iterator.map(_.split('=')(0).trim).filter(_.nonEmpty))
+          .toSet
+      }
+  }
+
+  /** True iff batch `b` provably wrote none of `cols` (schema-evolution
+    * read hitting a pre-ALTER batch) — unknown lineage keeps false.
+    */
+  private def batchLacksAll(b: Int, cols: Set[String]): Boolean =
+    batchColumns.get(b).exists(bc => cols.forall(c => !bc.contains(c)))
+
+  /** Cheapest column of batch `b` to drive row counts when none of the
+    * requested columns exist there (the decode null-fills the rest).
+    */
+  private def driverColumnFor(b: Int): Option[String] =
+    batchColumns.get(b).filter(_.nonEmpty).map { bc =>
+      allSpecs.filter(s => bc.contains(s.name))
+        .minByOption(s => typeCost.getOrElse(s.logical, 9)).map(_.name)
+        .getOrElse(bc.head)
+    }
+
+  /** COUNT(*) contributions must arrive exactly once per chunk, via rows
+    * of ONE designated column — which must exist in EVERY visible batch
+    * (post-ALTER batches carry more columns than older ones). The
+    * original CREATE columns are in every batch, so the intersection is
+    * never empty on a consistent dir; prefer an emit column (its rows
+    * are read anyway), else the cheapest intersecting column.
+    */
+  private def aggDesignated(committed: Set[Int]): String = {
+    val inter = committed.toSeq.flatMap(batchColumns.get)
+      .reduceOption(_ intersect _)
+      .getOrElse(allSpecs.map(_.name).toSet)
+    emitColumns.find(inter.contains).getOrElse {
+      allSpecs.filter(s => inter.contains(s.name))
+        .minByOption(s => typeCost.getOrElse(s.logical, 9)).map(_.name)
+        .getOrElse(emitColumns.head)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -757,9 +842,7 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     aggSlots match {
       case Some(slots) =>
-        // COUNT(*) contributions must arrive exactly once per chunk: the
-        // designated column (all columns of a chunk share row_count)
-        GraftAggReaderFactory(slots, emitColumns.head, specs, conf)
+        GraftAggReaderFactory(slots, aggDesignated(visibleBatches), specs, conf)
       case None =>
         GraftReaderFactory(specs, required.fields.isEmpty, activePreds, limit, conf)
     }
@@ -806,7 +889,12 @@ final class GraftMicroBatchStream(scan: GraftScan)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftBatchOffset].maxBatch
     val e = end.asInstanceOf[GraftBatchOffset].maxBatch
-    val visible = scan.streamVisible
+    // a FRESH stream (start = initial offset) serves the COMPACTED
+    // snapshot as of `e` — each current row exactly once even when the
+    // original append batches were compacted away and vacuumed; later
+    // ranges (s >= 0) serve only original append batches, never
+    // compaction batches (whose rows some earlier range already carried)
+    val visible = if (s < 0) scan.snapshotVisible(e) else scan.streamVisible
     // a stream lagging behind a compact+vacuum must FAIL, not silently
     // deliver zero rows: the batches it still owes were physically
     // deleted (batch readers are unaffected — they serve the compaction)
@@ -814,8 +902,8 @@ final class GraftMicroBatchStream(scan: GraftScan)
       .filterNot(scan.chunkBatchDirExists)
     require(vacuumed.isEmpty,
       s"stream needs batches ${vacuumed.toSeq.sorted.mkString(",")} which were " +
-        "compacted away and vacuumed — restart the stream from a fresh checkpoint " +
-        "(or batch-read the compacted table) instead of losing rows silently")
+        "compacted away and vacuumed — batch-read the compacted table or start a " +
+        "FRESH stream (new checkpoint), which serves the compacted snapshot instead")
     scan.planPartitionsFor(visible, b => b > s && b <= e)
   }
   override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
@@ -823,7 +911,13 @@ final class GraftMicroBatchStream(scan: GraftScan)
   override def stop(): Unit = ()
 }
 
-final case class GraftInputPartition(files: Array[String], columns: Seq[String])
+final case class GraftInputPartition(files: Array[String], columns: Seq[String],
+                                     // row-count driver for schema-evolution
+                                     // reads: a column decoded ONLY to keep
+                                     // pre-ALTER batches' rows present when
+                                     // none of the requested columns exist
+                                     // there (all values null-filled)
+                                     driver: Option[String] = None)
     extends InputPartition
 
 /** A chunk-level pruning decision derived from one pushed Filter. All
@@ -1147,7 +1241,9 @@ final class GraftAggPartitionReader(part: GraftInputPartition, slots: Array[AggS
     extends PartitionReader[InternalRow] {
 
   private val colPart = part.columns.nonEmpty
-  private val wanted = specs.map(_.name).toSet
+  // designated may fall outside the emit specs on post-ALTER dirs (it
+  // must exist in EVERY batch; emit columns need not)
+  private val wanted = specs.map(_.name).toSet + designated
   private val specByName = specs.map(s => s.name -> s).toMap
   private val metaFields = Set("column", "row_count", "null_count", "min_val", "max_val", "nan_count")
 
@@ -1166,8 +1262,9 @@ final class GraftAggPartitionReader(part: GraftInputPartition, slots: Array[AggS
       val b = ParquetReader.builder(new GroupReadSupport(), new Path(f)).withConf(c)
       (if (colPart) b
        else b.withFilter(FilterCompat.get(
-         specs.map(s => FilterApi.eq(FilterApi.binaryColumn("column"),
-             Binary.fromString(s.name)): FilterPredicate)
+         (specs.map(_.name).toSet + designated).toSeq
+           .map(n => FilterApi.eq(FilterApi.binaryColumn("column"),
+             Binary.fromString(n)): FilterPredicate)
            .reduce(FilterApi.or)))).build()
     }
 
@@ -1316,8 +1413,9 @@ final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnS
        else b.withFilter(FilterCompat.get(columnNameFilter))).build()
   }
   private def columnNameFilter: FilterPredicate =
-    specs.map(s => FilterApi.eq(FilterApi.binaryColumn("column"),
-        Binary.fromString(s.name)): FilterPredicate)
+    (specs.map(_.name) ++ part.driver)
+      .map(n => FilterApi.eq(FilterApi.binaryColumn("column"),
+        Binary.fromString(n)): FilterPredicate)
       .reduce(FilterApi.or)
 
   private val writer = new UnsafeRowWriter(specs.length)
@@ -1433,14 +1531,15 @@ final class GraftPartitionReader(part: GraftInputPartition, specs: Array[ColumnS
           if (g == null) done = true
           else {
             val c = ChunkGroupParser.parse(g, None)
-            if (c.part_id == head.part_id && c.chunk_id == head.chunk_id) acc(c.column) = c
+            // repeated column = the next duplicate group begins (defensive;
+            // EncodeJob-written files never duplicate keys within a file)
+            if (c.part_id == head.part_id && c.chunk_id == head.chunk_id &&
+                !acc.contains(c.column)) acc(c.column) = c
             else { pendingFirst = Some(g); done = true }
           }
         }
-        require(acc.size == specs.length,
-          s"chunk (${head.part_id},${head.chunk_id}) missing columns " +
-            s"${specs.map(_.name).filterNot(acc.contains).mkString(",")} — " +
-            "externally rewritten files? use EncodeJob.readBack")
+        // columns the chunk lacks are ones added by a later ALTER TABLE
+        // ADD COLUMN — the decode null-fills them (typed nulls)
         acc.toMap
       }
     }

@@ -218,21 +218,59 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").load(o).count() == 300L) // committed data untouched
   }
 
-  test("a stream lagging behind compact+vacuum fails loudly instead of losing rows") {
+  test("fresh streams serve the compacted snapshot; LAGGING streams past vacuum fail loudly") {
     val o = s"$tmp/stream-vacuum"
+    val ckpt = s"$tmp/stream-vacuum-ckpt"
     frame(0, 200).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
     frame(200, 400).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+    val sink = s"$tmp/stream-vacuum-out"
+    // consume batches 0-1, checkpoint, stop — this stream is now "behind"
+    // (file sink: the memory sink cannot recover from a checkpoint)
+    val q1 = spark.readStream.format("graft").load(o)
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(sink).count() == 400)
+    // append batch 2, then compact EVERYTHING and vacuum the originals
+    frame(400, 500).write.format("graft").mode("append").option("numPartitions", "2").save(o)
     EncodeJob.compact(spark, o, targetPartitions = 1)
     EncodeJob.vacuum(spark, o)
-    assert(spark.read.format("graft").load(o).count() == 400L) // batch reads fine
-    val q = spark.readStream.format("graft").load(o)
-      .writeStream.format("memory").queryName("vacuumed_stream").outputMode("append").start()
+    assert(spark.read.format("graft").load(o).count() == 500L) // batch reads fine
+    // the lagging stream still owes batch 2, which was physically deleted
+    val q2 = spark.readStream.format("graft").load(o)
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
     try {
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable(); q.awaitTermination(10000)
+        q2.processAllAvailable(); q2.awaitTermination(10000)
       }
       assert(e.getMessage != null && e.toString.contains("vacuum"), e.toString)
-    } finally q.stop()
+    } finally q2.stop()
+    // a FRESH stream (new checkpoint) serves the compacted SNAPSHOT —
+    // every current row exactly once, then follows new appends
+    val q3 = spark.readStream.format("graft").load(o)
+      .writeStream.format("memory").queryName("sv_fresh").outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("sv_fresh").count() == 500)
+      frame(500, 550).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+      q3.processAllAvailable()
+      assert(spark.table("sv_fresh").count() == 550)
+      assert(spark.table("sv_fresh").select(sum("id")).first().getLong(0) ==
+        (0L until 550L).sum)
+    } finally q3.stop()
+  }
+
+  test("compact with zorder derives rescale bounds from chunk stats — no sampling decode") {
+    val o = s"$tmp/zmeta"
+    frame(0, 2000).write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    frame(2000, 4000).write.format("graft").mode("append").option("numPartitions", "2").save(o)
+    val before = EncodeJob.zorderSamplingScans.get()
+    EncodeJob.compact(spark, o, targetPartitions = 2, zorderColumns = Seq("id", "v"))
+    assert(EncodeJob.zorderSamplingScans.get() == before,
+      "rewrite-with-zorder ran a sampling bounds pass despite full chunk-stat coverage")
+    val back = spark.read.format("graft").load(o)
+    assert(canon(back) sameElements canon(frame(0, 4000)))
   }
 
   test("a compacted dir refuses a resumed StreamingEncode sink (epoch id collision)") {

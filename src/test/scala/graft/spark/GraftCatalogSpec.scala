@@ -180,6 +180,53 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft.mrg.t").first().getLong(0) == 8)
   }
 
+  test("ALTER TABLE ADD COLUMN: old batches read typed nulls, new batches real values") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evo")
+    spark.sql("CREATE TABLE graft.evo.t (id BIGINT, s STRING) USING graft " +
+      "TBLPROPERTIES ('numPartitions'='2')")
+    spark.sql("INSERT INTO graft.evo.t SELECT id, concat('s', id) FROM range(100)")
+    spark.sql("ALTER TABLE graft.evo.t ADD COLUMN score DOUBLE")
+    spark.sql("ALTER TABLE graft.evo.t ADD COLUMN tag STRING")
+    // schema evolved; old rows read as typed nulls BEFORE any new insert
+    assert(spark.table("graft.evo.t").columns.toSeq == Seq("id", "s", "score", "tag"))
+    assert(spark.sql("SELECT count(*) FROM graft.evo.t WHERE score IS NULL")
+      .first().getLong(0) == 100)
+    spark.sql("INSERT INTO graft.evo.t SELECT id, concat('n', id), id * 1.5, 'new' " +
+      "FROM range(100, 150)")
+    val t = spark.table("graft.evo.t")
+    assert(t.count() == 150)
+    assert(t.filter(col("score").isNull && col("tag").isNull).count() == 100)
+    assert(t.filter(col("tag") === "new").count() == 50)
+    assert(spark.sql("SELECT score FROM graft.evo.t WHERE id = 120").first().getDouble(0) == 180.0)
+    // selecting ONLY post-ALTER columns still yields one row per written row
+    assert(spark.sql("SELECT score FROM graft.evo.t").count() == 150)
+    assert(spark.sql("SELECT score FROM graft.evo.t WHERE score IS NULL").count() == 100)
+    // aggregate pushdown stays exact: COUNT(*) counts pre-ALTER chunks too,
+    // and min/max over the new column ignore the null-filled old rows
+    val agg = spark.sql("SELECT count(*), count(score), min(score), max(score) FROM graft.evo.t")
+      .first()
+    assert(agg.getLong(0) == 150 && agg.getLong(1) == 50, agg.toString)
+    assert(agg.getDouble(2) == 150.0 && agg.getDouble(3) == 149 * 1.5, agg.toString)
+    // filters on the new column over mixed batches stay exact
+    assert(spark.sql("SELECT id FROM graft.evo.t WHERE score > 200").collect()
+      .map(_.getLong(0)).sorted.toSeq == (134L until 150L).toSeq)
+    // DML sees the evolved schema
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("UPDATE graft.evo.t SET tag = 'old' WHERE score IS NULL")
+    assert(spark.sql("SELECT count(*) FROM graft.evo.t WHERE tag = 'old'").first().getLong(0) == 100)
+    // refusals: duplicate add, nested, non-append position, drop
+    intercept[Exception] { spark.sql("ALTER TABLE graft.evo.t ADD COLUMN id BIGINT") }
+    intercept[Exception] { spark.sql("ALTER TABLE graft.evo.t DROP COLUMN s") }
+    intercept[Exception] { spark.sql("ALTER TABLE graft.evo.t ADD COLUMN z BIGINT FIRST") }
+    // TBLPROPERTIES set/unset round-trips
+    spark.sql("ALTER TABLE graft.evo.t SET TBLPROPERTIES ('compression'='zstd')")
+    assert(spark.sql("SHOW TBLPROPERTIES graft.evo.t").collect()
+      .exists(r => r.getString(0) == "compression" && r.getString(1) == "zstd"))
+    spark.sql("ALTER TABLE graft.evo.t UNSET TBLPROPERTIES ('compression')")
+    assert(!spark.sql("SHOW TBLPROPERTIES graft.evo.t").collect()
+      .exists(r => r.getString(0) == "compression"))
+  }
+
   test("aggregate pushdown works through the catalog (metadata-only)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
     spark.sql("CREATE TABLE graft.agg.t (k BIGINT, v DOUBLE) USING graft TBLPROPERTIES ('numPartitions'='2')")
