@@ -10,7 +10,8 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.001"
     val interesting = Seq("q1_agg", "q_join_agg", "q_topk", "q_text_stats",
       "q_minhash_neardup", "q_ann_cosine", "q_embed_neardup", "q_bloom_lookup",
-      "q_source_agg", "q_sorted_scan", "q_zorder_scan", "q_catalog", "q_compaction")
+      "q_source_agg", "q_sorted_scan", "q_zorder_scan", "q_catalog", "q_compaction",
+      "q_update", "q_merge", "rt_embeddings")
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, dir)
