@@ -57,6 +57,19 @@ object GraftDmlRunner {
     EncodeJob.updateWhere(spark, dir, cond, assigns, table.dmlPartitions(spark))
   }
 
+  /** SQL DELETE, strategy route: unlike the SupportsDeleteV2 surface
+    * (which must refuse conditions without a lossless V1 translation),
+    * the rewrite engine evaluates the RESOLVED expression exactly, so
+    * UDFs/functions in the WHERE clause work. Same selective batch
+    * pruning (translatable conjuncts still prune via chunk stats), same
+    * atomic commit, same SQL null semantics (condition-NULL rows kept).
+    */
+  def delete(table: GraftTable, d: DeleteFromTable): Unit = {
+    val spark = SparkSession.active
+    noSubqueries("DELETE", Seq(d.condition))
+    EncodeJob.deleteWhere(spark, table.dir, byName(d.condition), table.dmlPartitions(spark))
+  }
+
   /** SQL MERGE INTO, copy-on-write: the merged result is computed over
     * the live table (resolved expressions composed directly over the
     * analyzer's own plans, so ids line up), encoded as one new batch,

@@ -46,6 +46,17 @@ object GraftDmlStrategy extends SparkStrategy {
         GraftDmlExec(s"GraftUpdate ${tbl.dir}",
           () => graft.spark.source.GraftDmlRunner.update(tbl, u)) :: Nil
       }.getOrElse(Nil)
+    // with the extension registered, ALL graft deletes run through the
+    // rewrite engine — including conditions the SupportsDeleteV2 path
+    // must refuse (no lossless V1 translation: UDFs, functions over
+    // columns, complex LIKEs), which would otherwise error. Vanilla
+    // sessions (no extension) keep the SupportsDeleteV2 surface; both
+    // routes share EncodeJob.deleteWhere, so semantics are identical.
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+      graftTable(d.table).map { tbl =>
+        GraftDmlExec(s"GraftDelete ${tbl.dir}",
+          () => graft.spark.source.GraftDmlRunner.delete(tbl, d)) :: Nil
+      }.getOrElse(Nil)
     case m: MergeIntoTable =>
       graftTable(m.targetTable).map { tbl =>
         GraftDmlExec(s"GraftMerge ${tbl.dir}",

@@ -136,6 +136,24 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .first().getLong(0) > 0)
   }
 
+  test("SQL DELETE with non-translatable conditions (strategy route beyond SupportsDeleteV2)") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.delx")
+    spark.sql("CREATE TABLE graft.delx.t (id BIGINT, s STRING) USING graft " +
+      "TBLPROPERTIES ('numPartitions'='2')")
+    spark.sql("INSERT INTO graft.delx.t SELECT id, concat('v', id) FROM range(300)")
+    // length()/% have no lossless V1 filter translation — SupportsDeleteV2
+    // alone would refuse this statement
+    spark.sql("DELETE FROM graft.delx.t WHERE length(s) = 2 AND id % 2 = 1")
+    val left = spark.sql("SELECT count(*) FROM graft.delx.t").first().getLong(0)
+    assert(left == 300 - 5, s"$left") // v1 v3 v5 v7 v9
+    // condition-NULL rows are KEPT (SQL DELETE semantics through the strategy)
+    spark.sql("INSERT INTO graft.delx.t SELECT id, NULL FROM range(1000, 1010)")
+    spark.sql("DELETE FROM graft.delx.t WHERE substring(s, 1, 1) = 'v' AND id >= 200")
+    val after = spark.sql("SELECT count(*) FROM graft.delx.t").first().getLong(0)
+    assert(after == 295 - 100 + 10, s"$after")
+  }
+
   test("SQL MERGE INTO: matched update/delete, conditional insert, not-matched-by-source") {
     graft.plans.GraftExtensions.register(spark)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mrg")
