@@ -211,18 +211,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---------- namespaces ----------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val root = new Path(warehouse)
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  /** Namespaces nest arbitrarily deep (`CREATE NAMESPACE g.a.b.c`): a
+    * namespace is a warehouse subdirectory that is not a table, so the
+    * hierarchy IS the directory tree.
+    */
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    val root = new Path(dirOf(namespace))
     val f = fs(root)
     if (!f.exists(root)) return Array.empty
     f.listStatus(root).filter(_.isDirectory)
       .filterNot(st => f.exists(new Path(st.getPath, "schema.json"))) // tables aren't namespaces
-      .map(st => Array(st.getPath.getName))
+      .map(st => namespace :+ st.getPath.getName)
   }
-
-  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces()
-    else Array.empty // one level of namespaces is plenty for a warehouse dir
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     if (namespace.isEmpty) return true
@@ -233,10 +237,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     f.exists(p) && !f.exists(new Path(p, "schema.json"))
   }
 
+  private def nsMetaPath(namespace: Array[String]) =
+    new Path(dirOf(namespace), "_namespace.json")
+
   override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
-    java.util.Collections.emptyMap()
+    if (namespace.isEmpty) return java.util.Collections.emptyMap()
+    readJsonMap(nsMetaPath(namespace))
   }
 
   override def createNamespace(namespace: Array[String],
@@ -244,18 +252,57 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = new Path(dirOf(namespace))
     require(!fs(p).exists(new Path(p, "schema.json")),
       s"${namespace.mkString(".")} is a table, not a namespace")
-    fs(p).mkdirs(p)
+    fs(p).mkdirs(p) // parents implied — the warehouse is just a dir tree
+    if (!metadata.isEmpty) writeJsonMap(nsMetaPath(namespace), metadata)
   }
 
-  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+  /** ALTER NAMESPACE ... SET/UNSET PROPERTIES — persisted in the
+    * namespace dir's `_namespace.json` (underscore keeps every reader
+    * away from it; a file is never a table or namespace).
+    */
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace) || namespace.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    val meta = new java.util.HashMap[String, String](readJsonMap(nsMetaPath(namespace)))
+    changes.foreach {
+      case set: NamespaceChange.SetProperty    => meta.put(set.property(), set.value())
+      case rm: NamespaceChange.RemoveProperty  => meta.remove(rm.property())
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER NAMESPACE supports [UN]SET PROPERTIES only, got $other")
+    }
+    writeJsonMap(nsMetaPath(namespace), meta)
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = new Path(dirOf(namespace))
     val f = fs(p)
     if (!f.exists(p)) return false
-    if (!cascade && f.listStatus(p).nonEmpty)
+    if (!cascade && f.listStatus(p).exists(_.getPath.getName != "_namespace.json"))
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
-    f.delete(p, cascade)
+    f.delete(p, /* recursive */ true)
+  }
+
+  // flat string-map JSON, same hand-rolled shape and quote-refusal
+  // contract as catalog.json (readProps/writeProps above)
+  private def readJsonMap(p: Path): java.util.Map[String, String] = {
+    val out = new java.util.HashMap[String, String]()
+    val f = fs(p)
+    if (!f.exists(p)) return out
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(text)
+      .foreach(m => out.put(m.group(1), m.group(2)))
+    out
+  }
+
+  private def writeJsonMap(p: Path, m: java.util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val safe = m.asScala.toSeq.sortBy(_._1).map { case (k, v) =>
+      require(!k.contains("\"") && !v.contains("\""),
+        s"graft namespace property $k: quotes not supported")
+      s""""$k":"$v""""
+    }
+    val os = fs(p).create(p, /* overwrite */ true)
+    try os.write(safe.mkString("{", ",", "}").getBytes("UTF-8")) finally os.close()
   }
 }

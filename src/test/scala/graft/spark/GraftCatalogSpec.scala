@@ -136,6 +136,39 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .first().getLong(0) > 0)
   }
 
+  test("nested namespaces: multi-level DDL, SHOW, properties, guarded drop") {
+    spark.sql("CREATE NAMESPACE graft.lake")
+    spark.sql("CREATE NAMESPACE graft.lake.bronze COMMENT 'raw zone'")
+    spark.sql("CREATE NAMESPACE graft.lake.bronze.crawl")
+    // tables live at any depth; all pushdowns unchanged
+    spark.sql("CREATE TABLE graft.lake.bronze.crawl.pages (id BIGINT, body STRING) " +
+      "USING graft TBLPROPERTIES ('numPartitions'='2')")
+    spark.sql("INSERT INTO graft.lake.bronze.crawl.pages SELECT id, concat('b', id) FROM range(100)")
+    assert(spark.sql("SELECT count(*) FROM graft.lake.bronze.crawl.pages").first().getLong(0) == 100)
+    assert(spark.sql("SELECT max(id) FROM graft.lake.bronze.crawl.pages").first().getLong(0) == 99)
+    // SHOW walks the hierarchy level by level
+    assert(spark.sql("SHOW NAMESPACES IN graft.lake").collect()
+      .map(_.getString(0)).contains("lake.bronze"))
+    assert(spark.sql("SHOW NAMESPACES IN graft.lake.bronze").collect()
+      .map(_.getString(0)).contains("lake.bronze.crawl"))
+    assert(spark.sql("SHOW TABLES IN graft.lake.bronze.crawl").collect()
+      .map(_.getString(1)).contains("pages"))
+    // tables are never listed as namespaces
+    assert(!spark.sql("SHOW NAMESPACES IN graft.lake.bronze.crawl").collect()
+      .map(_.getString(0)).exists(_.contains("pages")))
+    // namespace properties persist and alter
+    spark.sql("ALTER NAMESPACE graft.lake.bronze SET PROPERTIES ('owner_team'='ingest')")
+    val props = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.lake.bronze").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("Properties").exists(_.contains("owner_team")), props.toString)
+    // non-cascade drop refuses a non-empty namespace; cascade removes the tree
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft.lake.bronze") }
+    assert(spark.sql("SELECT count(*) FROM graft.lake.bronze.crawl.pages").first().getLong(0) == 100)
+    spark.sql("DROP NAMESPACE graft.lake.bronze CASCADE")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.lake.bronze.crawl.pages").collect() }
+    assert(spark.sql("SHOW NAMESPACES IN graft.lake").collect().isEmpty)
+  }
+
   test("SQL DELETE with non-translatable conditions (strategy route beyond SupportsDeleteV2)") {
     graft.plans.GraftExtensions.register(spark)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.delx")
