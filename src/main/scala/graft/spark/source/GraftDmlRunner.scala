@@ -187,7 +187,12 @@ object GraftDmlRunner {
         df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       val result = (Seq(matchedOut, unmatchedOut) ++ insertOut.toSeq)
         .map(conform).reduce(_ unionByName _)
-      EncodeJob.rewriteVisibleWith(spark, dir, table.dmlPartitions(spark), result)
+      // MERGE into an EMPTY table (the upsert-bootstrap case) has nothing
+      // to replace — the result (inserts only) appends as a normal batch
+      if (EncodeJob.committedBatches(spark, dir).isEmpty)
+        GraftWriteSupport.insert(result, dir, table.writeOptions, overwrite = false)
+      else
+        EncodeJob.rewriteVisibleWith(spark, dir, table.dmlPartitions(spark), result)
     } finally target.unpersist()
   }
 }

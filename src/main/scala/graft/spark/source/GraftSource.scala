@@ -151,6 +151,11 @@ final class GraftTable(outDir: String, logicalSchema: StructType,
   private[source] def dmlPartitions(spark: SparkSession): Int =
     GraftWriteSupport.configFrom(outDir, merged(CaseInsensitiveStringMap.empty()),
       spark).numPartitions
+  /** Effective write options (persisted TBLPROPERTIES) for DML paths
+    * that append rather than rewrite (e.g. MERGE into an empty table).
+    */
+  private[source] def writeOptions: CaseInsensitiveStringMap =
+    merged(CaseInsensitiveStringMap.empty())
   override def properties(): java.util.Map[String, String] = tableProps
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

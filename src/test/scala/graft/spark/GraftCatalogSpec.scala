@@ -220,6 +220,17 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.toSeq == (0L to 6L) :+ 20L, after.mkString(","))
     assert(spark.sql("SELECT s FROM graft.mrg.t WHERE id = 20").first().getString(0) == "kept")
 
+    // MERGE into an EMPTY table: the upsert-bootstrap case appends
+    spark.sql("CREATE TABLE graft.mrg.boot (id BIGINT, s STRING, v BIGINT) USING graft " +
+      "TBLPROPERTIES ('numPartitions'='2')")
+    spark.sql(
+      """MERGE INTO graft.mrg.boot t USING (SELECT * FROM VALUES (1L, 10L), (2L, 20L) AS s(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (s.id, 'boot', s.v)
+        |""".stripMargin)
+    assert(spark.sql("SELECT count(*), sum(v) FROM graft.mrg.boot").first().toSeq == Seq(2L, 30L))
+
     // cardinality violation: one target row matching two source rows errors
     val err = intercept[Exception] {
       spark.sql(
