@@ -250,15 +250,39 @@ object EncodeJob {
     * pruning, chunk-level pruning still applies after open.
     */
   private def writeFileStats(spark: SparkSession, outDir: String, batchId: Int): Unit = {
-    // normalize to a scheme-less path so plan-time listings (file:/x) and
-    // input_file_name (file:///x, URL-encoded) compare equal
-    val normalize = udf((s: String) => new org.apache.hadoop.fs.Path(s).toUri.getPath)
-    spark.read.parquet(chunkBatchDir(outDir, batchId))
+    writeFileStatsAndSummary(spark, outDir, batchId)
+    ()
+  }
+
+  /** One metadata read of the batch just written serves BOTH artifacts
+    * that used to cost a scan each: the filestats sidecar (written) and
+    * the per-part manifest summary (returned) — the parquet projection
+    * keeps the heavy `streams` column unread either way, and the tiny
+    * projected frame is persisted across the two consumers.
+    */
+  private def writeFileStatsAndSummary(spark: SparkSession, outDir: String,
+                                       batchId: Int): Array[org.apache.spark.sql.Row] = {
+    // canonicalize through Path but KEEP scheme and authority: the
+    // sidecar's `file` entries are the paths metadata-planned scans OPEN,
+    // so on a non-default filesystem (s3a://, hdfs://) a scheme-stripped
+    // path would resolve against the wrong FS. Scheme-LESS normalization
+    // is applied only where entries serve as match keys (fileKeep).
+    val normalize = udf((s: String) => new org.apache.hadoop.fs.Path(s).toString)
+    val meta = spark.read.schema(chunkFileSchema).parquet(chunkBatchDir(outDir, batchId))
       .select(col("part_id"), col("chunk_id"), col("column"),
         col("min_val"), col("max_val"), col("null_count"), col("row_count"),
-        col("nan_count"), col("bloom"), normalize(input_file_name()).as("file"))
-      .write.mode(SaveMode.Overwrite).parquet(filestatsBatchDir(outDir, batchId))
-    writeFileMeta(spark, outDir, batchId)
+        col("nan_count"), col("bloom"), normalize(input_file_name()).as("file"),
+        col("raw_bytes"), col("encoded_bytes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      meta.drop("raw_bytes", "encoded_bytes")
+        .write.mode(SaveMode.Overwrite).parquet(filestatsBatchDir(outDir, batchId))
+      writeFileMeta(spark, outDir, batchId)
+      meta.groupBy(col("part_id"))
+        .agg(count(lit(1)).as("chunks"), sum(col("row_count")).as("rows"),
+          sum(col("raw_bytes")).as("raw"), sum(col("encoded_bytes")).as("enc"))
+        .collect()
+    } finally { meta.unpersist(false); () }
   }
 
   /** Per-batch file metadata (`_filemeta.json` inside the batch's sidecar
@@ -355,13 +379,8 @@ object EncodeJob {
   def streamBatches(spark: SparkSession, outDir: String): Set[Int] =
     manifestBatches(spark, outDir) -- compactions(spark, outDir).map(_.batch)
 
-  private def manifestBatches(spark: SparkSession, outDir: String): Set[Int] = {
-    import spark.implicits._
-    val path = new org.apache.hadoop.fs.Path(manifestDir(outDir))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Set.empty
-    else spark.read.parquet(manifestDir(outDir)).select("batch_id").distinct().as[Int].collect().toSet
-  }
+  private def manifestBatches(spark: SparkSession, outDir: String): Set[Int] =
+    TableMeta.snapshot(spark, outDir).batchIds
 
   private def applyCompactions(base: Set[Int], records: Seq[Compaction]): Set[Int] =
     records.foldLeft(base)((acc, c) => acc -- c.replaces + c.batch) --
@@ -381,10 +400,16 @@ object EncodeJob {
 
   def compactionsDir(outDir: String) = s"$outDir/compactions"
 
-  /** Committed compaction records, oldest first. Tiny driver-side reads:
-    * one record per compact() call over the dir's lifetime.
+  /** Committed compaction records, oldest first — snapshot-cached (the
+    * signature covers the compactions dir, so a new record invalidates).
     */
-  def compactions(spark: SparkSession, outDir: String): Seq[Compaction] = {
+  def compactions(spark: SparkSession, outDir: String): Seq[Compaction] =
+    TableMeta.snapshot(spark, outDir).compactions
+
+  /** Uncached read of the records — tiny driver-side JSON reads, one per
+    * compact() call over the dir's lifetime. TableMeta.load's source.
+    */
+  private[spark] def readCompactionRecords(spark: SparkSession, outDir: String): Seq[Compaction] = {
     val dir = new org.apache.hadoop.fs.Path(compactionsDir(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Seq.empty
@@ -432,17 +457,12 @@ object EncodeJob {
     * silently overwritten by an append that happens to pick their id).
     */
   private[graft] def nextBatchAndPart(spark: SparkSession, outDir: String): (Int, Int) = {
-    import org.apache.spark.sql.functions.max
-    val comps = compactions(spark, outDir)
-    val manifestPath = new org.apache.hadoop.fs.Path(manifestDir(outDir))
-    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (mBatch, mPart) =
-      if (!fs.exists(manifestPath)) (-1, -1)
-      else {
-        val r = spark.read.parquet(manifestDir(outDir))
-          .agg(max("batch_id"), max("part_id")).collect()(0)
-        (if (r.isNullAt(0)) -1 else r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))
-      }
+    val snap = TableMeta.snapshot(spark, outDir)
+    val comps = snap.compactions
+    val mBatch = snap.batchIds.foldLeft(-1)(math.max)
+    val mPart = snap.maxPart
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val chunkRoot = new org.apache.hadoop.fs.Path(chunkDir(outDir))
     val orphanMax =
       if (!fs.exists(chunkRoot)) -1
@@ -546,11 +566,19 @@ object EncodeJob {
       batches = Some(affected),
       compression = None, sortColumns = Nil, zorderColumns = Nil,
       transform = df => {
+        // ONE simultaneous projection (SQL UPDATE semantics): the hit
+        // condition and every assignment RHS evaluate against the
+        // PRE-update row — a sequential withColumn chain would feed later
+        // assignments (and the re-resolved condition) already-updated
+        // columns, so `SET a = b, b = a` silently swapped wrong, and the
+        // result depended on Map iteration order. Mirrors the single
+        // SELECT GraftDmlRunner.merge builds its CASE chains with.
         val hit = coalesce(condition, lit(false))
-        assignments.foldLeft(df) { case (d, (c, v)) =>
-          val field = schema.fields.find(_.name.equalsIgnoreCase(c)).get
-          d.withColumn(field.name, when(hit, v.cast(field.dataType)).otherwise(col(field.name)))
-        }
+        df.select(schema.fields.map { f =>
+          assignments.collectFirst { case (c, v) if f.name.equalsIgnoreCase(c) =>
+            when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          }.getOrElse(col(f.name))
+        }.toIndexedSeq: _*)
       })
   }
 
@@ -613,9 +641,9 @@ object EncodeJob {
     }.toSet
     val covered = visible intersect present
     if (covered.isEmpty) return visible
-    val raw = spark.read.parquet(dir.toString)
-    val rows = (if (raw.columns.contains("nan_count")) raw
-                else raw.withColumn("nan_count", lit(null).cast("int")))
+    // explicit sidecar schema: pre-nan_count batches read it as null
+    // (conservative keep), and no inference pass runs
+    val rows = TableMeta.readFilestats(spark, outDir)
       .filter(col("batch").isin(covered.toSeq: _*) &&
         col("column").isin(preds.map(_.column).distinct: _*))
     // chunk-level keep decided ACROSS predicate columns (same shape as
@@ -651,15 +679,17 @@ object EncodeJob {
     // inherit the dir's own layout + codec decisions unless overridden
     // (withChunkSchema null-fills columns older writers didn't have)
     val chunkMeta = withChunkSchema(
-      spark.read.parquet(chunkDir(outDir))
+      readChunkTree(spark, outDir)
         .filter(col("batch").isInCollection(toCompact.toSeq.map(Integer.valueOf))))
+    // one metadata aggregate instead of three separate collect jobs
+    val inh = chunkMeta.agg(
+      first(col("compression"), ignoreNulls = true).as("comp"),
+      max(col("seg_lens").isNotNull).as("seg"),
+      collect_set(when(col("bloom").isNotNull, col("column"))).as("blooms")).collect()(0)
     val inheritedCompression = compression.getOrElse(
-      chunkMeta.select("compression").filter(col("compression").isNotNull)
-        .limit(1).collect().headOption.map(_.getString(0)).getOrElse("zlib"))
-    val segmented = !chunkMeta.select("seg_lens").filter(col("seg_lens").isNotNull)
-      .limit(1).collect().isEmpty
-    val bloomCols = chunkMeta.filter(col("bloom").isNotNull)
-      .select("column").distinct().collect().map(_.getString(0)).toSet
+      if (inh.isNullAt(0)) "zlib" else inh.getString(0))
+    val segmented = !inh.isNullAt(1) && inh.getBoolean(1)
+    val bloomCols = inh.getSeq[String](2).toSet
     val effectiveSort =
       if (zorderColumns.nonEmpty) Nil
       else if (sortColumns.nonEmpty) sortColumns
@@ -677,7 +707,9 @@ object EncodeJob {
 
     val (newBatch, partOffset) = nextBatchAndPart(spark, outDir)
     val df = transform(decodeBatches(spark, outDir, toCompact, schema))
-    val manifest = Some(spark.read.parquet(manifestDir(outDir)))
+    // presence flag + snapshot-sourced codecs; explicit schema keeps the
+    // (never-executed) frame from paying a footer-inference pass
+    val manifest = Some(spark.read.schema(TableMeta.manifestSchema).parquet(manifestDir(outDir)))
     val (entries, _) = encodeOneBatch(df, cfg, newBatch, partOffset, manifest,
       schemaOverride = Some(schema))
 
@@ -934,7 +966,7 @@ object EncodeJob {
     import spark.implicits._
 
     val stringCodecs: Map[String, String] = existingManifest
-      .flatMap(m => m.select("codecs").limit(1).as[String].collect().headOption)
+      .flatMap(_ => TableMeta.snapshot(spark, cfg.outDir).codecs)
       .map(parseLineage)
       .getOrElse(pinStringCodecs(df, cfg.sampleRows))
     val schema = schemaOverride.getOrElse(df.schema)
@@ -952,15 +984,9 @@ object EncodeJob {
     // Overwrite into the batch-scoped dir: a replay of a half-written
     // batch replaces the orphan files instead of appending duplicates
     writeChunks(chunks, cfg, batchId)
-    writeFileStats(spark, cfg.outDir, batchId)
+    val summary = writeFileStatsAndSummary(spark, cfg.outDir, batchId)
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
-    val summary = spark.read.parquet(chunkBatchDir(cfg.outDir, batchId))
-      .select($"part_id", $"row_count", $"raw_bytes", $"encoded_bytes")
-      .groupBy($"part_id")
-      .agg(count(lit(1)).as("chunks"), sum($"row_count").as("rows"),
-        sum($"raw_bytes").as("raw"), sum($"encoded_bytes").as("enc"))
-      .collect()
     (summary.map { r =>
       ManifestEntry(r.getInt(0), batchId, r.getLong(1).toInt,
         r.getLong(2) / math.max(1, specs.length),
@@ -975,21 +1001,15 @@ object EncodeJob {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val existingManifest = {
-      // check existence first — a bare read of a missing path logs a noisy
-      // AnalysisException even when caught
+    // one snapshot read serves visibility AND the pinned codec lineage
+    val snap = TableMeta.snapshot(spark, cfg.outDir)
+    val committed: Set[Int] = snap.batchIds
+    val hadManifest = committed.nonEmpty || {
       val path = new org.apache.hadoop.fs.Path(manifestDir(cfg.outDir))
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) Some(spark.read.parquet(manifestDir(cfg.outDir))) else None
-    }
-
-    val committed: Set[Int] = existingManifest match {
-      case Some(m) => m.select("batch_id").distinct().as[Int].collect().toSet
-      case None    => Set.empty
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
     }
     // resume with the pinned decisions from lineage, not a fresh sample
-    val stringCodecs: Map[String, String] = existingManifest
-      .flatMap(m => m.select("codecs").limit(1).as[String].collect().headOption)
+    val stringCodecs: Map[String, String] = snap.codecs
       .map(parseLineage)
       .getOrElse(pinStringCodecs(df, cfg.sampleRows))
 
@@ -997,7 +1017,7 @@ object EncodeJob {
     val codecLineage = lineage(specs)
 
     writeSchemaJson(spark, cfg.outDir, df.schema)
-    maintainSortClaim(spark, cfg.outDir, cfg, hadBatches = existingManifest.isDefined)
+    maintainSortClaim(spark, cfg.outDir, cfg, hadBatches = hadManifest)
     val partitioned = partitionWithSalt(df, cfg)
     val shredded = TableEncoder.shred(partitioned, specs)
 
@@ -1016,19 +1036,11 @@ object EncodeJob {
           segmented = cfg.segmented, bloomColumns = cfg.bloomColumns)
         // Overwrite into the batch dir — replays of an uncommitted batch
         // replace its orphan files; the manifest append below is the
-        // commit point
+        // commit point. One metadata read serves sidecar AND summary.
         writeChunks(chunks, cfg, b)
-        writeFileStats(spark, cfg.outDir, b)
+        val summary = writeFileStatsAndSummary(spark, cfg.outDir, b)
         val wallMs = (System.nanoTime() - t0) / 1000000L
 
-        // manifest rows from metadata columns only — parquet pruning keeps
-        // the heavy `streams` column unread
-        val summary = spark.read.parquet(chunkBatchDir(cfg.outDir, b))
-          .select($"part_id", $"row_count", $"raw_bytes", $"encoded_bytes")
-          .groupBy($"part_id")
-          .agg(count(lit(1)).as("chunks"), sum($"row_count").as("rows"),
-            sum($"raw_bytes").as("raw"), sum($"encoded_bytes").as("enc"))
-          .collect()
         val entries = summary.map { r =>
           ManifestEntry(r.getInt(0), b, r.getLong(1).toInt,
             r.getLong(2) / math.max(1, specs.length), // rows were summed over columns
@@ -1049,14 +1061,10 @@ object EncodeJob {
     */
   def specsFromManifest(spark: SparkSession, outDir: String,
                         schema: org.apache.spark.sql.types.StructType): Array[ColumnSpec] = {
-    import spark.implicits._
-    val path = new org.apache.hadoop.fs.Path(manifestDir(outDir))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val codecs =
-      if (!fs.exists(path)) Map.empty[String, String] // schema-only table: no writes yet
-      else spark.read.parquet(manifestDir(outDir))
-        .select("codecs").limit(1).as[String].collect().headOption
-        .map(parseLineage).getOrElse(Map.empty)
+    // snapshot-cached; the NEWEST batch's lineage (post-ALTER batches
+    // carry strictly more columns). Empty for a schema-only table.
+    val codecs = TableMeta.snapshot(spark, outDir).codecs
+      .map(parseLineage).getOrElse(Map.empty)
     TableEncoder.columnSpecs(schema, codecs)
   }
 
@@ -1087,6 +1095,25 @@ object EncodeJob {
     }
   }
 
+  /** The chunk parquet's schema, stated explicitly on every read: no
+    * schema-inference footer pass, and columns a pre-upgrade writer
+    * lacked read as nulls — the same back-compat contract withChunkSchema
+    * provided, decided at scan time instead of plan-rewrite time.
+    */
+  private[spark] val chunkFileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[EncodedChunk].schema
+
+  /** chunkFileSchema plus the `batch` Hive-partition column (reads of the
+    * chunk ROOT see it; reads of one batch dir don't).
+    */
+  private[spark] val chunkTreeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(chunkFileSchema.fields :+
+      org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.IntegerType))
+
+  /** Read the chunk tree (all batches) with the explicit schema. */
+  private[spark] def readChunkTree(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.schema(chunkTreeSchema).parquet(chunkDir(outDir))
+
   /** Chunk rows of committed batches only. The `batch` partition-column
     * filter prunes whole orphan directories at the scan — uncommitted or
     * half-written batches are invisible to every reader.
@@ -1095,7 +1122,7 @@ object EncodeJob {
     import spark.implicits._
     val committed = committedBatches(spark, outDir)
     withChunkSchema(
-      spark.read.parquet(chunkDir(outDir))
+      readChunkTree(spark, outDir)
         .filter(col("batch").isInCollection(committed.toSeq.map(Integer.valueOf))))
       .as[EncodedChunk]
   }
@@ -1229,7 +1256,7 @@ object EncodeJob {
     if (batches == committedBatches(spark, outDir)) readBack(spark, outDir, specs)
     else {
       val chunks = withChunkSchema(
-        spark.read.parquet(chunkDir(outDir))
+        readChunkTree(spark, outDir)
           .filter(col("batch").isInCollection(batches.toSeq.map(Integer.valueOf))))
         .as[EncodedChunk](org.apache.spark.sql.Encoders.product[EncodedChunk])
       TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
@@ -1259,7 +1286,7 @@ object EncodeJob {
     withPinnedSplits(spark, outDir) {
       val nCols = specs.length
       val committed = committedBatches(spark, outDir)
-      val meta = spark.read.parquet(chunkDir(outDir))
+      val meta = readChunkTree(spark, outDir)
         .filter(col("batch").isInCollection(committed.toSeq.map(Integer.valueOf)))
         .select("part_id", "chunk_id")
       val badCounts = meta.rdd.mapPartitions { it =>
@@ -1309,10 +1336,24 @@ object EncodeJob {
           (chunks.filter(col("column").isInCollection(subset.map(_.name).toSeq)).as[EncodedChunk],
             subset)
       }
+      // expected rows per chunk group, when the manifest lineage proves it
+      // uniform across visible batches: a group truncated at a partition
+      // boundary (stale _filemeta.json / externally re-split files) then
+      // fails loudly instead of silently null-filling two halves
+      val expected: Option[Int] = {
+        val committed = committedBatches(spark, outDir)
+        val byBatch = TableMeta.snapshot(spark, outDir).batchColumns
+        val sizes = committed.toSeq.map(b => byBatch.get(b).map(cols =>
+          effSpecs.count(s => cols.contains(s.name))))
+        sizes.headOption.flatten match {
+          case Some(n) if n > 0 && sizes.forall(_.contains(n)) => Some(n)
+          case _ => None // unknown lineage or evolved batches: stay lenient
+        }
+      }
       // decodeSequential plans the scan eagerly (it materializes the RDD
       // lineage under the hood), so the file-split decision is pinned
       // while the conf window is open; later actions cannot re-split
-      val decoded = TableEncoder.decodeSequential(effChunks, effSpecs)
+      val decoded = TableEncoder.decodeSequential(effChunks, effSpecs, expected)
       TableEncoder.unshred(decoded, effSpecs)
     }
 

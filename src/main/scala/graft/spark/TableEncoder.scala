@@ -873,8 +873,9 @@ object TableEncoder {
     * Throws if a group is split across partitions (layout violated) —
     * fall back to `decode` in that case.
     */
-  def decodeSequential(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec]): DataFrame =
-    decodeAdjacent(chunks, specs)
+  def decodeSequential(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
+                       expectedGroupRows: Option[Int] = None): DataFrame =
+    decodeAdjacent(chunks, specs, expectedGroupRows = expectedGroupRows)
 
   /** Shared decode core: adjacent rows of the same (part_id, chunk_id)
     * form one chunk group; each group decodes column-at-a-time into
@@ -883,7 +884,16 @@ object TableEncoder {
     * Row.fromSeq path was 4.5× slower than encode at 32 cores).
     */
   private def decodeAdjacent(chunks: Dataset[EncodedChunk], specs: Array[ColumnSpec],
-                             stridePrune: Option[StridePrune] = None): DataFrame = {
+                             stridePrune: Option[StridePrune] = None,
+                             // when the caller KNOWS every chunk group
+                             // carries exactly this many column rows
+                             // (uniform batch lineage — EncodeJob checks
+                             // the manifest), a group truncated at a
+                             // partition boundary (stale _filemeta.json,
+                             // externally re-split files) fails loudly
+                             // instead of silently emitting two
+                             // complementary null-filled halves
+                             expectedGroupRows: Option[Int] = None): DataFrame = {
     val spark = chunks.sparkSession
     val specsB = spark.sparkContext.broadcast(specs)
     val schema = physicalSchema(specs)
@@ -926,6 +936,11 @@ object TableEncoder {
             require(group.size <= sp.length,
               s"chunk (${first.part_id},${first.chunk_id}) has ${group.size} column rows, " +
                 s"expected at most ${sp.length}")
+            expectedGroupRows.foreach(e => require(group.size == e,
+              s"chunk group (${first.part_id},${first.chunk_id}) has ${group.size} column " +
+                s"rows, expected exactly $e — group split across read partitions? " +
+                "(externally re-split files / stale _filemeta.json); " +
+                "read with the shuffled decode()"))
             pending = decodeChunkInternalRows(group.toMap, sp, writer, stridePrune.toSeq)
           }
         }

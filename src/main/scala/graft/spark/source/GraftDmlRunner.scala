@@ -104,6 +104,7 @@ object GraftDmlRunner {
     val target = Bridge.ofRows(spark, m.targetTable)
       .withColumn(tid, monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cachedPairs: Option[DataFrame] = None
     try {
       val source = Bridge.ofRows(spark, m.sourceTable)
       val cond = Bridge.column(m.mergeCondition)
@@ -142,20 +143,27 @@ object GraftDmlRunner {
       }
 
       // matched pairs — cardinality checked when any target-row clause
-      // could apply twice to the same target row
-      val pairs = target.join(source, cond, "inner")
-      if (m.matchedActions.nonEmpty) {
-        val dup = pairs.groupBy(col(tid)).count()
-          .filter(col("count") > 1).limit(1).count() > 0
-        require(!dup,
-          "MERGE cardinality violation: a target row matched more than one source row")
-      }
+      // could apply twice to the same target row. The pairs are persisted
+      // across check and rewrite, so the inner join executes ONCE: the
+      // check job reads the cache the rewrite will reuse, instead of
+      // re-running the join for a throwaway aggregate (guide §1.2: don't
+      // compute things twice). The check itself shuffles only (tid, count)
+      // partials, never the payload columns.
       val matchedOut =
         if (m.matchedActions.isEmpty)
           // no matched clause: matched target rows pass through unchanged
           target.join(source, cond, "left_semi")
             .select(targetAttrs.map(a => Bridge.column(a).as(a.name)): _*)
-        else applyActions(pairs, m.matchedActions)
+        else {
+          val pairs = target.join(source, cond, "inner")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cachedPairs = Some(pairs)
+          val dup = pairs.groupBy(col(tid)).count()
+            .filter(col("count") > 1).limit(1).count() > 0
+          require(!dup,
+            "MERGE cardinality violation: a target row matched more than one source row")
+          applyActions(pairs, m.matchedActions)
+        }
 
       val unmatchedTarget = target.join(source, cond, "left_anti")
       val unmatchedOut =
@@ -193,6 +201,9 @@ object GraftDmlRunner {
         GraftWriteSupport.insert(result, dir, table.writeOptions, overwrite = false)
       else
         EncodeJob.rewriteVisibleWith(spark, dir, table.dmlPartitions(spark), result)
-    } finally target.unpersist()
+    } finally {
+      cachedPairs.foreach(_.unpersist())
+      target.unpersist()
+    }
   }
 }

@@ -261,13 +261,12 @@ object GraftWriteSupport {
       return
     }
 
-    val manifest = {
-      val m = new Path(EncodeJob.manifestDir(outDir))
-      if (fs.exists(m)) Some(spark.read.parquet(EncodeJob.manifestDir(outDir))) else None
-    }
-    val committed = manifest.map(
-      _.select("batch_id").distinct().collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
+    val committed = graft.spark.TableMeta.snapshot(spark, outDir).batchIds
     if (committed.isEmpty) { EncodeJob.run(data, cfg); return }
+    // presence flag + snapshot-sourced codecs inside runBatch; explicit
+    // schema keeps the (never-executed) frame from paying inference
+    val manifest = Some(spark.read.schema(graft.spark.TableMeta.manifestSchema)
+      .parquet(EncodeJob.manifestDir(outDir)))
 
     // append onto live data: schema and layout must match what readers
     // already see — fail loud rather than silently corrupt the dir.
@@ -485,19 +484,13 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     * only, no chunk reads.
     */
   override def estimateStatistics(): Statistics = {
-    import org.apache.spark.sql.functions.{col, sum}
     val committed = visibleBatches
-    val perBatch =
-      if (committed.isEmpty) Map.empty[Int, (Long, Long)] // schema-only table
-      else spark.read.parquet(EncodeJob.manifestDir(outDir))
-        .filter(col("batch_id").isin(committed.toSeq: _*))
-        .groupBy(col("batch_id"))
-        .agg(sum("row_count").as("r"), sum("raw_bytes").as("b")).collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val snap = graft.spark.TableMeta.snapshot(spark, outDir)
+    val perBatch = snap.perBatch
     // a compaction batch is visible the instant its record lands, which
     // can be BEFORE its manifest metrics rows — fall back to the record's
     // own totals so the table never looks empty to the broadcast planner
-    val recorded = EncodeJob.compactions(spark, outDir)
+    val recorded = snap.compactions
       .map(c => c.batch -> (c.rows, c.rawBytes)).toMap
     val (rows, raw) = committed.foldLeft((0L, 0L)) { case ((r, b), batch) =>
       val (dr, db) = perBatch.getOrElse(batch, recorded.getOrElse(batch, (0L, 0L)))
@@ -592,12 +585,10 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Map.empty
     val predCols = preds.map(_.column).toSet
-    val raw = spark.read.parquet(dir.toString)
-    // pre-nan_count sidecars: null-fill so keepSelfColumn's NaN clause
-    // resolves (null → conservative keep)
-    val rows = (if (raw.columns.contains("nan_count")) raw
-                else raw.withColumn("nan_count",
-                  org.apache.spark.sql.functions.lit(null).cast("int")))
+    // explicit sidecar schema: pre-nan_count batches read it as null
+    // (keepSelfColumn's NaN clause keeps conservatively) and no
+    // inference pass runs
+    val rows = graft.spark.TableMeta.readFilestats(spark, outDir)
       .filter(col("batch").isin(committed.toSeq: _*) &&
         col("column").isin(predCols.toSeq: _*))
     val chunkKeep = rows
@@ -606,7 +597,10 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     rows.select("file", "part_id", "chunk_id").distinct()
       .join(chunkKeep, Seq("part_id", "chunk_id"))
       .groupBy(col("file")).agg(max(col("ck")).as("keep"))
-      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      // scheme-less match keys: sidecars written before the full-URI fix
+      // stored stripped paths, newer ones keep the scheme — normalizing
+      // BOTH the map keys and the probe (kept()) makes them compare equal
+      .collect().map(r => normPath(r.getString(0)) -> r.getBoolean(1)).toMap
   }
 
   private def normPath(p: String): String = new Path(p).toUri.getPath
@@ -646,29 +640,8 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     * from file level to table level.
     */
   private def sidecarChunkFiles(committed: Set[Int])
-      : Option[Seq[(Int, Option[String], String)]] = {
-    if (committed.isEmpty) return Some(Seq.empty)
-    val dir = new Path(EncodeJob.filestatsDir(outDir))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return None
-    // O(batches) presence probe, not a tree walk
-    val present = fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
-      case n if n.startsWith("batch=") => n.stripPrefix("batch=").toInt
-    }.toSet
-    if (!committed.subsetOf(present)) return None
-    val sidecar = filestatsFiles(committed)
-    if (sidecar.isEmpty) return Some(Seq.empty)
-    // leaf-file reads skip Hive partition discovery, so `batch` rides in
-    // the chunk-file path itself (chunks/batch=N/...), same as the walk
-    val rows = spark.read.parquet(sidecar: _*)
-      .select(org.apache.spark.sql.functions.col("file")).distinct().collect()
-    Some(rows.iterator.flatMap { r =>
-      val p = r.getString(0)
-      val batch = """batch=(\d+)""".r.findFirstMatchIn(p).map(_.group(1).toInt)
-      val column = """column=([^/]+)/""".r.findFirstMatchIn(p).map(_.group(1))
-      batch.filter(committed.contains).map(b => (b, column, p))
-    }.toSeq)
-  }
+      : Option[Seq[(Int, Option[String], String)]] =
+    graft.spark.TableMeta.sidecarChunkFiles(spark, outDir, committed)
 
   override def planInputPartitions(): Array[InputPartition] =
     planPartitionsFor(visibleBatches, _ => true)
@@ -796,17 +769,8 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     * driver-side manifest read per scan instance (the same cost class as
     * the visibility read); empty map when no manifest exists.
     */
-  private lazy val batchColumns: Map[Int, Set[String]] = {
-    val p = new Path(EncodeJob.manifestDir(outDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Map.empty
-    else spark.read.parquet(p.toString).select("batch_id", "codecs").distinct()
-      .collect().groupBy(_.getInt(0)).map { case (b, rows) =>
-        b -> rows.iterator.map(_.getString(1)).filter(_ != null)
-          .flatMap(_.split(',').iterator.map(_.split('=')(0).trim).filter(_.nonEmpty))
-          .toSet
-      }
-  }
+  private lazy val batchColumns: Map[Int, Set[String]] =
+    graft.spark.TableMeta.snapshot(spark, outDir).batchColumns
 
   /** True iff batch `b` provably wrote none of `cols` (schema-evolution
     * read hitting a pre-ALTER batch) — unknown lineage keeps false.

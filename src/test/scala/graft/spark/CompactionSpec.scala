@@ -304,4 +304,25 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.select("id").distinct().count() == 500L, "duplicate rows in stream")
     } finally q.stop()
   }
+
+  test("updateWhere: simultaneous semantics — RHS and condition read the pre-update row") {
+    val o = s"$tmp/simultaneous"
+    spark.range(0, 100).select(col("id"), (col("id") + 1000).as("a"),
+        (col("id") + 2000).as("b"), (col("id") % 10).cast("double").as("v"))
+      .write.format("graft").mode("overwrite").option("numPartitions", "2").save(o)
+    // swap a and b AND zero the condition column in one statement: the old
+    // sequential withColumn chain fed later assignments (and the
+    // re-resolved condition) already-updated columns, so the swap came out
+    // as a copy and the hit set depended on Map iteration order
+    EncodeJob.updateWhere(spark, o, col("v") > 5.0,
+      Map("a" -> col("b"), "b" -> col("a"), "v" -> lit(0.0)), 2)
+    spark.read.format("graft").load(o).orderBy("id").collect().foreach { r =>
+      val id = r.getLong(0)
+      val (a, b, v) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      if (id % 10 > 5) assert(a == id + 2000 && b == id + 1000 && v == 0.0,
+        s"row $id not swapped simultaneously: a=$a b=$b v=$v")
+      else assert(a == id + 1000 && b == id + 2000 && v == (id % 10).toDouble,
+        s"unmatched row $id modified: a=$a b=$b v=$v")
+    }
+  }
 }
