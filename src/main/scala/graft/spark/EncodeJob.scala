@@ -432,6 +432,81 @@ object EncodeJob {
     out.sortBy(_.batch).toSeq
   }
 
+  /** Driver-side manifest commit (the Delta-style move): one JSON commit
+    * file per batch, written tmp + atomic rename — a metadata append is
+    * driver IO, not a Spark job. Readers merge these with any legacy
+    * parquet manifest rows (older dirs, forged resume fixtures), so both
+    * generations stay readable. At 100 TB a commit is one file of
+    * numPartitions entries (what Delta/Iceberg write per commit), vs. a
+    * full executor round-trip for a KB of metadata before.
+    */
+  private[graft] def writeManifestEntries(spark: SparkSession, outDir: String,
+                                          entries: Seq[ManifestEntry]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("entries")
+    entries.foreach { e =>
+      val o = arr.addObject()
+      o.put("part_id", e.part_id); o.put("batch_id", e.batch_id)
+      o.put("chunk_count", e.chunk_count); o.put("row_count", e.row_count)
+      o.put("raw_bytes", e.raw_bytes); o.put("encoded_bytes", e.encoded_bytes)
+      o.put("wall_ms", e.wall_ms); o.put("codecs", e.codecs)
+    }
+    val dir = new org.apache.hadoop.fs.Path(manifestDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val batch = entries.headOption.map(_.batch_id).getOrElse(0)
+    val name = f"commit-$batch%05d-${java.util.UUID.randomUUID()}.json"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    val os = fs.create(tmp, /* overwrite */ true)
+    try os.write(mapper.writeValueAsBytes(root)) finally os.close()
+    require(fs.rename(tmp, dst), s"could not commit manifest $dst")
+  }
+
+  /** Manifest entries from the JSON commit files (driver-side parse) plus
+    * a flag for legacy parquet rows being present too.
+    */
+  private[graft] def readManifestJson(spark: SparkSession, outDir: String)
+      : (Seq[ManifestEntry], Boolean) = {
+    val dir = new org.apache.hadoop.fs.Path(manifestDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return (Seq.empty, false)
+    val statuses = fs.listStatus(dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val entries = statuses.iterator.filter { s =>
+      val n = s.getPath.getName
+      n.endsWith(".json") && !n.startsWith(".")
+    }.flatMap { s =>
+      val in = fs.open(s.getPath)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      val root = mapper.readTree(bytes)
+      val arr = root.get("entries")
+      if (arr == null || !arr.isArray) Iterator.empty
+      else scala.jdk.CollectionConverters.IteratorHasAsScala(arr.elements()).asScala.map { o =>
+        ManifestEntry(o.get("part_id").asInt(), o.get("batch_id").asInt(),
+          o.get("chunk_count").asInt(), o.get("row_count").asLong(),
+          o.get("raw_bytes").asLong(), o.get("encoded_bytes").asLong(),
+          o.get("wall_ms").asLong(), o.get("codecs").asText())
+      }
+    }.toSeq
+    val parquetPresent = statuses.exists(_.getPath.getName.endsWith(".parquet"))
+    (entries, parquetPresent)
+  }
+
+  /** Every manifest entry — JSON commits plus legacy parquet rows. Tests
+    * and tools; snapshot loading uses the same sources aggregated.
+    */
+  def manifestEntries(spark: SparkSession, outDir: String): Seq[ManifestEntry] = {
+    val (json, parquetPresent) = readManifestJson(spark, outDir)
+    val legacy =
+      if (!parquetPresent) Seq.empty
+      else spark.read.schema(TableMeta.manifestSchema).parquet(manifestDir(outDir))
+        .as[ManifestEntry](org.apache.spark.sql.Encoders.product[ManifestEntry])
+        .collect().toSeq
+    json ++ legacy
+  }
+
   /** The commit point of compact(): create-temp + rename, atomic on the
     * filesystems Spark targets.
     */
@@ -727,10 +802,8 @@ object EncodeJob {
       writeLayoutJson(spark, outDir, effectiveSort)
 
     // lineage/metrics after the commit point — a crash here loses metrics
-    // rows, never data visibility
-    import spark.implicits._
-    spark.createDataset(entries.toIndexedSeq).write.mode(SaveMode.Append)
-      .parquet(manifestDir(outDir))
+    // rows, never data visibility. Driver-side JSON commit, no Spark job.
+    writeManifestEntries(spark, outDir, entries.toIndexedSeq)
     newBatch
   }
 
@@ -942,9 +1015,9 @@ object EncodeJob {
     import spark.implicits._
     val (entries, specs) = encodeOneBatch(df, cfg, batchId,
       partIdOffset = batchId * cfg.numPartitions, existingManifest)
-    // commit point: the batch is durable only once these rows land
-    spark.createDataset(entries.toIndexedSeq).write.mode(SaveMode.Append)
-      .parquet(manifestDir(cfg.outDir))
+    // commit point: the batch is durable only once these rows land —
+    // a driver-side JSON commit file (atomic rename), no Spark job
+    writeManifestEntries(spark, cfg.outDir, entries.toIndexedSeq)
     Result(specs, chunkDir(cfg.outDir), manifestDir(cfg.outDir), 1, 0)
   }
 
@@ -1046,9 +1119,9 @@ object EncodeJob {
             r.getLong(2) / math.max(1, specs.length), // rows were summed over columns
             r.getLong(3), r.getLong(4), wallMs, codecLineage)
         }
-        // commit point: the batch is durable only once these rows land
-        spark.createDataset(entries.toIndexedSeq).write.mode(SaveMode.Append)
-          .parquet(manifestDir(cfg.outDir))
+        // commit point: the batch is durable only once these rows land —
+        // a driver-side JSON commit file (atomic rename), no Spark job
+        writeManifestEntries(spark, cfg.outDir, entries.toIndexedSeq)
       }
     }
 

@@ -99,26 +99,40 @@ object TableMeta {
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifestPath))
       return Snapshot(Set.empty, -1, None, Map.empty, Map.empty, comps)
-    val rows = spark.read.schema(manifestSchema).parquet(manifestPath.toString)
-      .groupBy(col("batch_id"))
-      .agg(max("part_id").as("mp"), sum("row_count").as("r"),
-        sum("raw_bytes").as("b"), collect_set("codecs").as("cs"))
-      .collect()
-    val batchIds = rows.iterator.map(_.getInt(0)).toSet
-    val maxPart = rows.iterator.map(r => if (r.isNullAt(1)) -1 else r.getInt(1))
-      .foldLeft(-1)(math.max)
-    val perBatch = rows.iterator.map(r =>
-      r.getInt(0) -> (if (r.isNullAt(2)) 0L else r.getLong(2),
-        if (r.isNullAt(3)) 0L else r.getLong(3))).toMap
-    val lineages: Map[Int, Seq[String]] = rows.iterator.map(r =>
-      r.getInt(0) -> r.getSeq[String](4).filter(_ != null)).toMap
-    val batchColumns = lineages.map { case (b, ls) =>
+    // JSON commit files parse on the driver (no Spark job at all);
+    // legacy parquet rows — pre-JSON dirs, forged resume fixtures — are
+    // aggregated distributedly with the explicit schema when present.
+    val (jsonEntries, parquetPresent) = EncodeJob.readManifestJson(spark, outDir)
+    // per batch: (maxPart, rows, rawBytes, lineages)
+    val agg = scala.collection.mutable.Map[Int, (Int, Long, Long, List[String])]()
+    def add(b: Int, part: Int, rows: Long, raw: Long, lineage: Seq[String]): Unit = {
+      val (p0, r0, w0, l0) = agg.getOrElse(b, (-1, 0L, 0L, Nil))
+      agg(b) = (math.max(p0, part), r0 + rows, w0 + raw,
+        (lineage.filterNot(l0.contains) ++ l0).toList)
+    }
+    jsonEntries.foreach(e =>
+      add(e.batch_id, e.part_id, e.row_count, e.raw_bytes, Option(e.codecs).toSeq))
+    if (parquetPresent)
+      spark.read.schema(manifestSchema).parquet(manifestPath.toString)
+        .groupBy(col("batch_id"))
+        .agg(max("part_id").as("mp"), sum("row_count").as("r"),
+          sum("raw_bytes").as("b"), collect_set("codecs").as("cs"))
+        .collect().foreach { r =>
+          add(r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2),
+            if (r.isNullAt(3)) 0L else r.getLong(3),
+            r.getSeq[String](4).filter(_ != null))
+        }
+    val batchIds = agg.keySet.toSet
+    val maxPart = agg.valuesIterator.map(_._1).foldLeft(-1)(math.max)
+    val perBatch = agg.iterator.map { case (b, (_, r, w, _)) => b -> (r, w) }.toMap
+    val batchColumns = agg.iterator.map { case (b, (_, _, _, ls)) =>
       b -> ls.iterator
         .flatMap(_.split(',').iterator.map(_.split('=')(0).trim).filter(_.nonEmpty))
         .toSet
-    }.filter(_._2.nonEmpty)
-    val codecs = lineages.toSeq.sortBy(-_._1).iterator
-      .flatMap(_._2.headOption).find(_ => true)
+    }.filter(_._2.nonEmpty).toMap
+    val codecs = agg.toSeq.sortBy(-_._1).iterator
+      .flatMap(_._2._4.headOption).find(_ => true)
     Snapshot(batchIds, maxPart, codecs, batchColumns, perBatch, comps)
   }
 

@@ -57,10 +57,10 @@ object StreamingEncode {
                   numPartitions: Int, keyColumn: Option[String],
                   compression: String = graft.core.BlockCompression.Zlib): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
-    val manifestPath = new org.apache.hadoop.fs.Path(EncodeJob.manifestDir(outDir))
-    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing = if (fs.exists(manifestPath)) Some(spark.read.parquet(manifestPath.toString)) else None
+    // one snapshot read serves visibility, the compaction guard AND the
+    // replay check — driver-side metadata, no Spark jobs per micro-batch
+    // (before: a manifest read + filter + count job pair on every epoch)
+    val snap = graft.spark.TableMeta.snapshot(spark, outDir)
 
     // the sink's batch ids ARE the stream's epoch ids; a compaction
     // allocates from the same integer space, so a sink resumed onto a
@@ -69,18 +69,21 @@ object StreamingEncode {
     // the compaction batch dir when its epoch reaches that id. Fail loud:
     // compacting a streaming-sink dir requires retiring this sink (start
     // a fresh checkpoint writing to a fresh dir, or batch-append instead)
-    require(EncodeJob.compactions(spark, outDir).isEmpty,
+    require(snap.compactions.isEmpty,
       s"$outDir has been compacted — a StreamingEncode sink cannot resume onto it " +
         "(epoch-derived batch ids would collide with the compaction batch); " +
         "write to a fresh dir or append in batch mode")
 
     // sink-side idempotence: a replayed batch is already committed — skip
-    val alreadyCommitted = existing.exists(
-      _.filter(col("batch_id") === batchId.toInt).limit(1).count() > 0)
-    if (alreadyCommitted) return
+    if (snap.batchIds.contains(batchId.toInt)) return
 
     // pin codecs once per stream: batch 0 samples, later batches reuse
-    // the lineage recorded in the manifest
+    // the lineage recorded in the manifest (runBatch reads it from the
+    // snapshot; the frame below is only the had-batches presence flag)
+    val existing =
+      if (snap.batchIds.isEmpty) None
+      else Some(spark.read.schema(graft.spark.TableMeta.manifestSchema)
+        .parquet(EncodeJob.manifestDir(outDir)))
     val cfg = EncodeJob.Config(outDir, numPartitions, keyColumn, compression = compression)
     EncodeJob.runBatch(batch, cfg, batchId.toInt, existing)
   }

@@ -52,8 +52,8 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == 5000) // no lost/duplicated urls
 
     // codec decisions recorded in lineage: lang must be dictionary-coded
-    val manifest = spark.read.parquet(result.manifestDir)
-    val codecs = manifest.select("codecs").first().getString(0)
+    val manifest = EncodeJob.manifestEntries(spark, out)
+    val codecs = manifest.head.codecs
     assert(codecs.contains("lang=STRING_DICT"), codecs)
     assert(codecs.contains("text=STRING_FSST") || codecs.contains("text=STRING_DIRECT"), codecs)
   }
@@ -295,14 +295,14 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // leaving batch=1's chunk dir as an orphan on disk
     val stableSpark = spark
     import stableSpark.implicits._
-    val manifest = spark.read.parquet(EncodeJob.manifestDir(out)).as[ManifestEntry].collect()
+    val manifest = EncodeJob.manifestEntries(spark, out)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
     rm(new java.io.File(EncodeJob.manifestDir(out)))
-    spark.createDataset(manifest.filter(_.batch_id == 0).toIndexedSeq)
-      .write.parquet(EncodeJob.manifestDir(out))
+    EncodeJob.writeManifestEntries(spark, out,
+      manifest.filter(_.batch_id == 0).toIndexedSeq)
 
     // a reader between the crash and the resume must not see orphan rows
     val visibleBefore = EncodeJob.readBack(spark, out, EncodeJob.specsFromManifest(
@@ -322,8 +322,7 @@ class EncodeJobSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // manifest byte/row totals must reflect the replaced chunks, not the
     // orphans doubled
-    val totalRows = spark.read.parquet(EncodeJob.manifestDir(out))
-      .agg(sum(col("row_count"))).first().getLong(0)
+    val totalRows = EncodeJob.manifestEntries(spark, out).map(_.row_count).sum
     assert(totalRows == 2000, s"manifest rows $totalRows != 2000")
   }
 

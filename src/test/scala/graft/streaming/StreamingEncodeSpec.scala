@@ -51,8 +51,8 @@ class StreamingEncodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     q.stop()
 
-    val manifest = spark.read.parquet(EncodeJob.manifestDir(out))
-    assert(manifest.select("batch_id").distinct().count() == 2)
+    val manifest = EncodeJob.manifestEntries(spark, out)
+    assert(manifest.map(_.batch_id).distinct.size == 2)
 
     val specs = EncodeJob.specsFromManifest(spark, out, stream.toDF().schema)
     val decoded = EncodeJob.readBack(spark, out, specs)
