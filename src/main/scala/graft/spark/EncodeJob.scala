@@ -668,6 +668,18 @@ object EncodeJob {
     rewriteBatches(spark, outDir, targetPartitions, keyColumn = None, batches = None,
       compression = None, sortColumns = Nil, zorderColumns = Nil, transform = _ => result)
 
+  /** Replace only `batches` with `result` in one atomic swap — the
+    * selective-MERGE commit: batches whose stats provably admit no
+    * merge-key match stay visible untouched (their files byte-identical),
+    * and only the affected subset is re-encoded.
+    */
+  private[graft] def rewriteSubsetWith(spark: SparkSession, outDir: String,
+                                       targetPartitions: Int, batches: Set[Int],
+                                       result: DataFrame): Int =
+    rewriteBatches(spark, outDir, targetPartitions, keyColumn = None,
+      batches = Some(batches), compression = None, sortColumns = Nil,
+      zorderColumns = Nil, transform = _ => result)
+
   /** Batches that can possibly hold rows matching `condition` — the DML
     * pruning pass. The condition is resolved by NAME against the table
     * schema, split into conjuncts, translated to V1 filters, and run

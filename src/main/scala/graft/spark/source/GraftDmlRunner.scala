@@ -97,11 +97,109 @@ object GraftDmlRunner {
 
     val targetAttrs: Seq[Attribute] = m.targetTable.output
     val tid = "__graft_merge_tid"
+
+    // ---- selective rewrite (the 100 TB fix): when the merge-on
+    // condition carries equi-conjuncts `t.col = <source expr>`, the
+    // source's key bounds translate into target predicates, and batches
+    // whose chunk stats provably admit NO match stay visible UNTOUCHED —
+    // their files are never decoded, re-encoded or rewritten. A 10-row
+    // upsert into a many-batch table rewrites only the batches the keys
+    // can live in (and appends the insert branch when none match).
+    // Conservative everywhere: non-equi conditions, NOT MATCHED BY
+    // SOURCE clauses (they touch unmatched rows table-wide), single-batch
+    // tables and already-pushed-down scan shapes fall back to the full
+    // copy-on-write rewrite.
+    val visible = EncodeJob.committedBatches(spark, dir)
+    def conj(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conj(l) ++ conj(r)
+      case other => Seq(other)
+    }
+    val equi: Seq[(AttributeReference, Expression)] = {
+      val targetSet = m.targetTable.outputSet
+      val srcSet = m.sourceTable.outputSet
+      import org.apache.spark.sql.catalyst.expressions.{EqualTo => CatEq}
+      conj(m.mergeCondition).collect {
+        case CatEq(a: AttributeReference, b)
+            if targetSet.contains(a) && b.references.subsetOf(srcSet) => (a, b)
+        case CatEq(b, a: AttributeReference)
+            if targetSet.contains(a) && b.references.subsetOf(srcSet) => (a, b)
+      }
+    }
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+    // the optimizer may already have rewritten the target into a scan
+    // relation (V2ScanRelationPushDown runs before planning) — both
+    // shapes are restrictable
+    val plainRelation = m.targetTable.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+      case sr: DataSourceV2ScanRelation if sr.relation.table.isInstanceOf[GraftTable] => sr.relation
+    }.isDefined
+    var sourceEmpty = false
+    val affected: Set[Int] =
+      if (visible.size <= 1 || equi.isEmpty || !plainRelation ||
+          m.notMatchedBySourceActions.nonEmpty) visible
+      else {
+        // one narrow aggregate over the (small) source: row count, per
+        // equi-key min/max bounds, and an approximate distinct count that
+        // decides whether an exact IN-set is worth collecting — an IN-set
+        // prunes per VALUE (range gaps + bloom probes), so an upsert whose
+        // insert keys sit far from its matched keys doesn't smear one
+        // giant [min, max] interval over unrelated batches
+        import org.apache.spark.sql.functions.{approx_count_distinct, count => fcount, max => fmax, min => fmin}
+        val aggs = fcount(lit(1)) +: (equi.flatMap { case (_, e) =>
+          Seq(fmin(Bridge.column(e)), fmax(Bridge.column(e))) } ++
+          equi.map { case (_, e) => approx_count_distinct(Bridge.column(e)) })
+        val src = Bridge.ofRows(spark, m.sourceTable)
+        val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+        if (row.getLong(0) == 0L) { sourceEmpty = true; Set.empty }
+        else if ((1 to equi.size * 2).exists(row.isNullAt)) Set.empty // null keys match nothing
+        else {
+          val InSetCap = 512
+          val cond = equi.zipWithIndex.map { case ((a, e), i) =>
+            val keyCol = Bridge.column(e)
+            val approx = row.getLong(1 + equi.size * 2 + i)
+            val inSet: Option[Seq[Any]] =
+              if (approx > InSetCap) None // big source: bounds only
+              else {
+                val vs = src.select(keyCol.as("k")).filter(col("k").isNotNull)
+                  .distinct().limit(InSetCap + 1).collect().map(_.get(0)).toSeq
+                if (vs.size > InSetCap) None else Some(vs)
+              }
+            inSet match {
+              case Some(vs) => col(a.name).isin(vs: _*)
+              case None =>
+                col(a.name) >= lit(row.get(2 * i + 1)) && col(a.name) <= lit(row.get(2 * i + 2))
+            }
+          }.reduce(_ && _)
+          EncodeJob.affectedBatches(spark, dir, cond)
+        }
+      }
+    // empty source: no matches AND nothing to insert — a provable no-op
+    if (sourceEmpty) return
+    // nothing can match and there is no insert branch: no-op
+    if (affected.isEmpty && visible.nonEmpty &&
+        !m.notMatchedActions.exists(_.isInstanceOf[InsertAction])) return
+
+    def restrict(r: DataSourceV2Relation): DataSourceV2Relation = {
+      val o = new java.util.HashMap[String, String](r.options)
+      o.put("visibleBatches", affected.toSeq.sorted.mkString(","))
+      r.copy(options = new CaseInsensitiveStringMap(o))
+    }
+    val targetPlan =
+      if (affected == visible) m.targetTable
+      else m.targetTable.transform {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => restrict(r)
+        case sr: DataSourceV2ScanRelation if sr.relation.table.isInstanceOf[GraftTable] =>
+          // rebuild as a (restricted) plain relation KEEPING the scan
+          // relation's attribute ids — re-optimization re-pushes over the
+          // narrowed batch set
+          restrict(sr.relation).copy(output = sr.output)
+      }
+
     // the tag makes target rows identifiable across the three branches
     // and pins match cardinality; persisted so every branch sees the
     // same ids (and the join runs once per branch off memory/disk, not
     // three times off the table)
-    val target = Bridge.ofRows(spark, m.targetTable)
+    val target = Bridge.ofRows(spark, targetPlan)
       .withColumn(tid, monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cachedPairs: Option[DataFrame] = None
@@ -196,11 +294,16 @@ object GraftDmlRunner {
       val result = (Seq(matchedOut, unmatchedOut) ++ insertOut.toSeq)
         .map(conform).reduce(_ unionByName _)
       // MERGE into an EMPTY table (the upsert-bootstrap case) has nothing
-      // to replace — the result (inserts only) appends as a normal batch
-      if (EncodeJob.committedBatches(spark, dir).isEmpty)
+      // to replace — the result (inserts only) appends as a normal batch.
+      // The selective paths mirror it: no affected batch → the result IS
+      // the insert branch, appended; a strict subset → only those batches
+      // swap for the result, the rest stay visible byte-identical.
+      if (visible.isEmpty || affected.isEmpty)
         GraftWriteSupport.insert(result, dir, table.writeOptions, overwrite = false)
-      else
+      else if (affected == visible)
         EncodeJob.rewriteVisibleWith(spark, dir, table.dmlPartitions(spark), result)
+      else
+        EncodeJob.rewriteSubsetWith(spark, dir, table.dmlPartitions(spark), affected, result)
     } finally {
       cachedPairs.foreach(_.unpersist())
       target.unpersist()

@@ -173,10 +173,17 @@ final class GraftTable(outDir: String, logicalSchema: StructType,
     statement.forEach((k, v) => m.put(k.toLowerCase(java.util.Locale.ROOT), v))
     new CaseInsensitiveStringMap(m)
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val o = merged(options)
     new GraftScanBuilder(outDir, logicalSchema,
       // time travel: read the batch set as of a committed batch id
-      asOfBatch = Option(merged(options).get("asOfBatch")).map(_.toInt))
+      asOfBatch = Option(o.get("asOfBatch")).map(_.toInt),
+      // INTERNAL (selective MERGE): restrict the scan to a subset of the
+      // visible batches — always intersected with the committed set, so
+      // it can only narrow, never resurrect replaced/uncommitted batches
+      batchOverride = Option(o.get("visibleBatches")).map(
+        _.split(',').iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(outDir, merged(info.options()))
 }
@@ -300,7 +307,8 @@ object GraftWriteSupport {
 }
 
 final class GraftScanBuilder(outDir: String, logicalSchema: StructType,
-                             asOfBatch: Option[Int] = None)
+                             asOfBatch: Option[Int] = None,
+                             batchOverride: Option[Set[Int]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = logicalSchema
@@ -368,7 +376,8 @@ final class GraftScanBuilder(outDir: String, logicalSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(outDir, logicalSchema, required, pushed, aggSlots, limit, asOfBatch)
+    new GraftScan(outDir, logicalSchema, required, pushed, aggSlots, limit, asOfBatch,
+      batchOverride)
 }
 
 /** One pushed aggregate function, resolved at plan time against the
@@ -420,7 +429,8 @@ object AggSlot {
 final class GraftScan(outDir: String, logicalSchema: StructType,
                       required: StructType, pushed: Array[Filter],
                       aggSlots: Option[Array[AggSlot]], limit: Int,
-                      asOfBatch: Option[Int] = None)
+                      asOfBatch: Option[Int] = None,
+                      batchOverride: Option[Set[Int]] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportOrdering {
 
@@ -454,9 +464,13 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     * planInputPartitions runs. Also saves re-listing manifest +
     * compactions on every planning callback.
     */
-  private lazy val visibleBatches: Set[Int] = asOfBatch match {
-    case Some(n) => EncodeJob.committedBatchesAsOf(spark, outDir, n)
-    case None    => EncodeJob.committedBatches(spark, outDir)
+  private lazy val visibleBatches: Set[Int] = {
+    val base = asOfBatch match {
+      case Some(n) => EncodeJob.committedBatchesAsOf(spark, outDir, n)
+      case None    => EncodeJob.committedBatches(spark, outDir)
+    }
+    // the override (selective MERGE) can only NARROW the committed set
+    batchOverride.fold(base)(_ intersect base)
   }
 
   /** Sort claim pinned with the same snapshot semantics. */

@@ -299,4 +299,72 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "aggregate pushdown disengaged through the catalog")
     assert(r.getLong(0) == 0 && r.getLong(1) == 999 && r.getLong(2) == 1000 && r.getDouble(3) == 499.5)
   }
+
+  test("selective MERGE: batches outside the source key bounds stay byte-identical") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.selm")
+    spark.sql(
+      """CREATE TABLE graft.selm.t (id BIGINT, v BIGINT)
+        |USING graft TBLPROPERTIES ('numPartitions' = '2')""".stripMargin)
+    // three batches with disjoint, stats-visible id ranges
+    Seq((0L, 100L), (1000L, 1100L), (2000L, 2100L)).foreach { case (lo, hi) =>
+      spark.range(lo, hi).selectExpr("id", "id AS v").createOrReplaceTempView("selm_src")
+      spark.sql("INSERT INTO graft.selm.t SELECT * FROM selm_src")
+    }
+    val dir = s"$wh/selm/t"
+    assert(EncodeJob.committedBatches(spark, dir) == Set(0, 1, 2))
+    def fileHashes(batch: Int): Map[String, String] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/chunks/batch=$batch"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(_.toString.endsWith(".parquet")).map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          f.toString -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+        }.toMap
+      } finally st.close()
+    }
+    val before0 = fileHashes(0)
+    val before2 = fileHashes(2)
+
+    // source keys live ONLY in batch 1's range, plus fresh insert keys
+    spark.sql(
+      """MERGE INTO graft.selm.t t
+        |USING (SELECT id, -1L AS v FROM range(1000, 1050)
+        |       UNION ALL SELECT id, -2L AS v FROM range(5000, 5005)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        |""".stripMargin)
+
+    // batches 0 and 2 were never rewritten — files byte-identical
+    assert(fileHashes(0) == before0, "batch 0 rewritten by a selective MERGE")
+    assert(fileHashes(2) == before2, "batch 2 rewritten by a selective MERGE")
+    val committed = EncodeJob.committedBatches(spark, dir)
+    assert(committed.contains(0) && committed.contains(2) && !committed.contains(1),
+      s"selective MERGE should have replaced only batch 1: $committed")
+
+    // and the merged table reads exactly right
+    val got = spark.sql("SELECT id, v FROM graft.selm.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = ((0L until 100L) ++ (1000L until 1100L) ++ (2000L until 2100L))
+      .map(id => (id, if (id >= 1000 && id < 1050) -1L else id)) ++
+      (5000L until 5005L).map(id => (id, -2L))
+    assert(got.toSeq == want.sortBy(_._1).toSeq)
+
+    // a merge whose keys match NOTHING appends only (all batches intact)
+    val pre = EncodeJob.committedBatches(spark, dir)
+    val b0 = fileHashes(0)
+    spark.sql(
+      """MERGE INTO graft.selm.t t USING (SELECT 90000L AS id, 7L AS v) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        |""".stripMargin)
+    assert(fileHashes(0) == b0)
+    assert(EncodeJob.committedBatches(spark, dir).intersect(pre) == pre,
+      "no-match MERGE must append, not rewrite")
+    assert(spark.sql("SELECT v FROM graft.selm.t WHERE id = 90000").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+  }
 }
