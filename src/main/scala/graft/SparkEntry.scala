@@ -163,7 +163,12 @@ object SparkEntry {
     "rt_orc_file" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
       val out = java.nio.file.Files.createTempDirectory("graft-orc-rt").toString
-      OrcInterop.writeOrcFiles(li.repartition(4), out, stripeRows = 20000)
+      // one .orc file per task; fan out to the session's parallelism
+      // (floor 4 keeps the multi-file shape at tiny SFs) — the read-back
+      // orders by ALL columns, so the result is partitioning-invariant
+      OrcInterop.writeOrcFiles(
+        li.repartition(math.max(4, s.sparkContext.defaultParallelism)), out,
+        stripeRows = 20000)
       // total order over ALL columns: (l_orderkey, l_linenumber) is not
       // unique in the synthetic lineitem, and repartition scrambles ties
       OrcInterop.readOrcFile(s, out).orderBy(li.columns.map(col).toIndexedSeq: _*)

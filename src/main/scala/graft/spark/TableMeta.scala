@@ -225,8 +225,32 @@ object TableMeta {
     }.toSeq)
   }
 
+  /** Plan-time file-keep maps per (outDir, committed set, predicate
+    * signature), validated against the sidecar listing exactly like the
+    * chunk-file cache: the same filter re-planned (Spark re-plans a scan
+    * per action) stops paying the distributed keep evaluation twice.
+    */
+  private val fileKeepCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Int], String), (String, Map[String, Boolean])]()
+
+  def fileKeep(spark: SparkSession, outDir: String, committed: Set[Int],
+               preds: Seq[graft.spark.source.ChunkPrune])
+      (compute: => Map[String, Boolean]): Map[String, Boolean] = {
+    val predsSig = preds.map(_.toString).sorted.mkString(";")
+    val key = (outDir, committed.toSeq.sorted, predsSig)
+    listSidecarFiles(spark, outDir, committed) match {
+      case None => compute // no sidecar: cheap anyway (empty keep map)
+      case Some(listing) =>
+        val sig = listing.map(s =>
+          s"${s.getPath}:${s.getLen}:${s.getModificationTime}").mkString(",")
+        val hit = fileKeepCache.get(key)
+        if (hit != null && hit._1 == sig) return hit._2
+        boundedPut(fileKeepCache, key, (sig, compute))._2
+    }
+  }
+
   /** Drop every cached entry (tests; external tampering recovery). */
   def invalidateAll(): Unit = {
-    cache.clear(); sidecarCache.clear()
+    cache.clear(); sidecarCache.clear(); fileKeepCache.clear()
   }
 }

@@ -593,8 +593,13 @@ final class GraftScan(outDir: String, logicalSchema: StructType,
     * coverage (older dirs) default to kept.
     */
   private def fileKeep(preds: Array[ChunkPrune], committed: Set[Int]): Map[String, Boolean] = {
-    import org.apache.spark.sql.functions.{col, max, min}
     if (preds.isEmpty) return Map.empty
+    graft.spark.TableMeta.fileKeep(spark, outDir, committed, preds.toSeq)(
+      computeFileKeep(preds, committed))
+  }
+
+  private def computeFileKeep(preds: Array[ChunkPrune], committed: Set[Int]): Map[String, Boolean] = {
+    import org.apache.spark.sql.functions.{col, max, min}
     val dir = new Path(EncodeJob.filestatsDir(outDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Map.empty
