@@ -17,19 +17,31 @@ object SparkEntry {
     * dict / FSST / FoR / zlib), decode, restore schema. The identity of
     * this transform IS the correctness claim for every codec underneath.
     */
+  /** Fan a single-split input out to the session's parallelism before
+    * encoding, exactly like the production write path (EncodeJob.run
+    * repartitions explicitly) — but only when the input is big enough
+    * that the shuffle pays for itself (size from the optimizer's own
+    * plan statistics, a driver-side read, no job). Tiny tables keep
+    * their single partition: measured, the extra exchange costs more
+    * than the parallel encode saves below a few MB. Scale-adaptive,
+    * never a constant.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val sizeHint = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeHint >= BigInt(4L * 1024 * 1024))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+  }
+
   private def roundTrip(spark: SparkSession, df: DataFrame): DataFrame = {
     val codecs = EncodeJob.pinStringCodecs(df, sampleRows = 5000)
     val specs = TableEncoder.columnSpecs(df.schema, codecs)
-    // fan out before encoding, exactly like the production write path
-    // (EncodeJob.run repartitions explicitly): the test tables arrive as
-    // ONE parquet split, so without this the whole encode+decode ran in
-    // a single task at local[N]. Parallelism-adaptive, never hard-coded;
     // a round trip is partitioning-invariant (identity per row) and the
-    // driver comparer canonically row-sorts, so the result is unchanged.
-    val fanned = df.repartition(spark.sparkContext.defaultParallelism)
+    // driver comparer canonically row-sorts, so fanOut never changes the
+    // result — the tie-prone queries additionally total-order the output
     // segmented = the production layout (per-stride independently-
     // compressed segments); its decode correctness rides this gate
-    val chunks = TableEncoder.encode(TableEncoder.shred(fanned, specs), specs, segmented = true)
+    val chunks = TableEncoder.encode(TableEncoder.shred(fanOut(df), specs), specs, segmented = true)
     TableEncoder.unshred(TableEncoder.decode(chunks, specs), specs)
   }
 
@@ -224,10 +236,9 @@ object SparkEntry {
       val li = read(s, dir, "lineitem")
       val codecs = EncodeJob.pinStringCodecs(li, 5000)
       val specs = TableEncoder.columnSpecs(li.schema, codecs)
-      // same production-shaped fan-out as roundTrip: the single-split
-      // parquet otherwise encodes on one task at local[N]
-      val fanned = li.repartition(s.sparkContext.defaultParallelism)
-      val chunks = TableEncoder.encode(TableEncoder.shred(fanned, specs), specs)
+      // same production-shaped, size-adaptive fan-out as roundTrip: the
+      // single-split parquet otherwise encodes on one task at local[N]
+      val chunks = TableEncoder.encode(TableEncoder.shred(fanOut(li), specs), specs)
       TableEncoder.unshred(
           TableEncoder.decodeColumns(chunks, specs, Seq("l_orderkey", "l_extendedprice")),
           TableEncoder.subsetSpecs(specs, Seq("l_orderkey", "l_extendedprice")))
